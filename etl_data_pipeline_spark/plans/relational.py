@@ -1,0 +1,1076 @@
+"""Relational core queries (SURVEY.md §2 categories A/B/C/D/E/F/G).
+
+Every query here is declared with the DataFrame API so Catalyst owns the
+physical plan (predicate pushdown to the parquet scan, column pruning,
+broadcast-vs-SMJ join selection, AQE coalesce/skew handling). Scale
+posture per operator is noted in its docstring.
+
+Determinism rules (SURVEY.md §2 footer + functions/canonical.py): every
+aggregate/computed column is aliased identically in Spark and oracle SQL;
+money aggregates use exact DECIMAL(38,p) sums cast once to double (never
+ROUND — the engines tie-break rounding differently and money data sits on
+decimal-grid ties); timestamps cross the oracle boundary as strings;
+every top-k has a total-order tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.functions.canonical import dec_avg, dec_sum
+from etl_data_pipeline_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# A. scans
+# --------------------------------------------------------------------------
+
+@query(
+    "a1_parquet_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: parquet scan with footer schema; column pruning applies."""
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "a5_nanos_ingest",
+    oracle="""
+    SELECT event_id, CAST(ts AS VARCHAR) AS ts_str, event_type FROM events
+    """,
+)
+def a5_nanos_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: nanos-timestamp parquet ingest (SURVEY §1.4).
+
+    Spark reads INT64 TIMESTAMP(NANOS) via nanosAsLong + timestamp_micros;
+    DuckDB natively truncates to its microsecond timestamps — identical.
+    Timestamps cross the oracle boundary as strings (engine convention:
+    Spark CAST(ts AS STRING) == DuckDB CAST(ts AS VARCHAR), verified
+    byte-identical including trailing-zero trimming).
+    """
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("string").alias("ts_str"), "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# B. projections / filters / predicates
+# --------------------------------------------------------------------------
+
+@query(
+    "b1_project_derive",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           l_quantity * 1000 AS qty_milli
+    FROM lineitem
+    """,
+)
+def b1_project_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: project / rename / derive columns — narrow transform, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charged"),
+        (F.col("l_quantity") * 1000).alias("qty_milli"),
+    )
+
+
+@query(
+    "b2_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND NOT (o_custkey % 10 = 3)
+    """,
+)
+def b2_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: comparison/BETWEEN/IN/LIKE/boolean predicates.
+
+    All predicates are on raw columns so they push to the parquet scan
+    (visible as PushedFilters in .explain).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & ~(F.col("o_custkey") % 10 == 3)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "b3_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'partial' END AS status_name
+    FROM orders
+    """,
+)
+def b3_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: conditional expressions (CASE/WHEN)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
+
+
+@query(
+    "b4_null_handling",
+    oracle="""
+    WITH withnulls AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'MACHINERY') AS seg_or_null,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+      FROM customer
+    )
+    SELECT c_custkey,
+           COALESCE(seg_or_null, 'UNKNOWN') AS seg_filled,
+           COALESCE(bal_or_null, 0.0) AS bal_filled,
+           (bal_or_null IS NULL) AS bal_was_null
+    FROM withnulls
+    WHERE seg_or_null IS NOT NULL OR bal_or_null IS NOT NULL
+    """,
+)
+def b4_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: null introduction (nullif-style), drop, fill, coalesce, is-null."""
+    c = load_table(spark, sf_dir, "customer")
+    withnulls = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_or_null"),
+    )
+    # na.drop(how="all", subset=...) == WHERE a IS NOT NULL OR b IS NOT NULL
+    dropped = withnulls.na.drop(how="all", subset=["seg_or_null", "bal_or_null"])
+    return dropped.select(
+        "c_custkey",
+        F.coalesce("seg_or_null", F.lit("UNKNOWN")).alias("seg_filled"),
+        F.coalesce("bal_or_null", F.lit(0.0)).alias("bal_filled"),
+        F.col("bal_or_null").isNull().alias("bal_was_null"),
+    )
+
+
+@query(
+    "b5_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS priority_num
+    FROM orders
+    """,
+)
+def b5_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: casts string<->num<->date<->timestamp.
+
+    CAST(double AS BIGINT) truncates toward zero in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D. aggregations (q1 first — the headline pricing summary)
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           AVG(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+B2: filter + 2-key hash groupBy with 7 aggregates (TPC-H Q1 shape).
+
+    Scale: partial aggregation map-side then exchange on the (tiny) group
+    key space — the canonical scalable agg; AQE coalesces post-shuffle
+    partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # integer-valued doubles sum exactly in any order
+            F.sum("l_quantity").alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            dec_avg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "d2_global_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price,
+           AVG(l_quantity) AS avg_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def d2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: global (no-key) aggregation — single-row result via partial aggs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: multi distinct aggregation (expand-based plan in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("d4_approx_distinct")  # no oracle: HLL sketches differ across engines
+def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: approx_count_distinct (HLL++) — scale path for distinct counts.
+
+    Rows-only driver check; the in-repo test asserts the estimate is
+    within 5% of the exact count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "d5_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def d5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: rollup (grouping sets); COALESCE pins the subtotal marker rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "d6_filtered_agg",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_price,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END AS DECIMAL(38,2))) AS DOUBLE) AS bulk_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def d6_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: filtered aggregation (FILTER clause / conditional sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dec_sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")), 2
+        ).alias("returned_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+        dec_sum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0),
+            2,
+        ).alias("bulk_price"),
+    )
+
+
+@query(
+    "d7_collect_list_str",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS members
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def d7_collect_list_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: collect_list/set — emitted as a sorted joined string so the
+    cross-engine hash is order-stable (arrays stringify differently)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("members")
+    )
+
+
+@query(
+    "d8_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(MEDIAN(l_quantity), 6) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: exact percentiles / median (linear interpolation both engines).
+
+    Scale note: exact percentile sorts per group; at 100 TB prefer
+    percentile_approx (registered as d8b) — kept exact here for oracle
+    parity.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@query("d8b_percentile_approx")  # no oracle: sketch-based, engine-specific
+def d8b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 scale path: approx percentile (KLL-style sketch, mergeable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C. joins
+# --------------------------------------------------------------------------
+
+@query(
+    "c1_inner_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def c1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: equi inner join — Spark picks broadcast vs SMJ from sizes/AQE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "c2_left_join",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_big_orders,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 0.0) AS big_total
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def c2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: left outer join (unmatched rows surface as nulls, then agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(dec_sum(F.col("o_totalprice"), 2), F.lit(0.0)).alias(
+                "big_total"
+            ),
+        )
+    )
+
+
+@query(
+    "c2_full_outer_join",
+    oracle="""
+    WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 9000),
+         big_ord  AS (SELECT * FROM orders WHERE o_totalprice > 450000)
+    SELECT COALESCE(c.c_custkey, -1) AS cust_side_key,
+           COALESCE(o.o_custkey, -1) AS order_side_key,
+           o.o_orderkey,
+           (c.c_custkey IS NULL) AS cust_missing,
+           (o.o_orderkey IS NULL) AS order_missing
+    FROM big_cust c FULL OUTER JOIN big_ord o ON c.c_custkey = o.o_custkey
+    """,
+)
+def c2_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: full outer join with nulls on both sides."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce("c_custkey", F.lit(-1)).alias("cust_side_key"),
+        F.coalesce("o_custkey", F.lit(-1)).alias("order_side_key"),
+        "o_orderkey",
+        F.col("c_custkey").isNull().alias("cust_missing"),
+        F.col("o_orderkey").isNull().alias("order_missing"),
+    )
+
+
+@query(
+    "c3_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def c3_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: left semi join (EXISTS/IN shape, no right columns, no dup rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "c3_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def c3_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: left anti join (NOT EXISTS shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "c4_broadcast_join",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def c4_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: explicit broadcast hint for a small dimension.
+
+    At 100 TB nation stays tiny — broadcasting avoids shuffling the fact
+    table entirely (this is the single biggest join win at scale).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "c5_cross_join",
+    oracle="""
+    SELECT r.r_name, t.o_orderstatus, r.r_regionkey + t.status_count AS mixed
+    FROM region r
+    CROSS JOIN (SELECT o_orderstatus, COUNT(*) AS status_count
+                FROM orders GROUP BY o_orderstatus) t
+    """,
+)
+def c5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: cross join (bounded: 5 regions x 3 statuses)."""
+    r = load_table(spark, sf_dir, "region")
+    t = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("status_count"))
+    )
+    return r.crossJoin(t).select(
+        "r_name",
+        "o_orderstatus",
+        (F.col("r_regionkey") + F.col("status_count")).alias("mixed"),
+    )
+
+
+@query(
+    "c6_range_join",
+    oracle="""
+    SELECT s.s_suppkey,
+           COUNT(c.c_custkey) AS n_close_customers
+    FROM supplier s
+    LEFT JOIN customer c
+      ON c.c_acctbal > s.s_acctbal - 100 AND c.c_acctbal <= s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def c6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: non-equi (range) join -> broadcast nested-loop.
+
+    Scale note: pure theta joins are O(n*m); at 100 TB bucket both sides
+    by floor(acctbal/100) first to convert to equi-join + residual (that
+    variant is c6b).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (c.c_acctbal > s.s_acctbal - 100) & (c.c_acctbal <= s.s_acctbal)
+    return (
+        s.join(c, cond, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_close_customers"))
+    )
+
+
+@query(
+    "c6b_banded_range_join",
+    oracle="""
+    SELECT s.s_suppkey,
+           COUNT(c.c_custkey) AS n_close_customers
+    FROM supplier s
+    LEFT JOIN customer c
+      ON c.c_acctbal > s.s_acctbal - 100 AND c.c_acctbal <= s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def c6b_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 scale path: band the range join into an equi-join on bucket id.
+
+    Each supplier row is exploded to the (at most 2) 100-wide buckets its
+    window [s_acctbal-100, s_acctbal] overlaps; joining on bucket id turns
+    the O(n*m) nested loop into a hash join + residual predicate. Same
+    answer as c6_range_join.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    band = 100.0
+    s_b = s.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - band) / band).cast("long"),
+                F.floor(F.col("s_acctbal") / band).cast("long"),
+            )
+        ),
+    )
+    c_b = c.withColumn("bucket", F.floor(F.col("c_acctbal") / band).cast("long"))
+    cond = (
+        (s_b.bucket == c_b.bucket)
+        & (c_b.c_acctbal > s_b.s_acctbal - band)
+        & (c_b.c_acctbal <= s_b.s_acctbal)
+    )
+    joined = s_b.join(c_b, cond, "left")
+    # a supplier row with no match in ANY bucket still yields one row per
+    # bucket with null custkey; count(c_custkey) ignores nulls so the
+    # group-by result matches the plain range join.
+    return joined.groupBy("s_suppkey").agg(
+        F.count("c_custkey").alias("n_close_customers")
+    )
+
+
+@query(
+    "q3_topk_join",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate_str
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS VARCHAR)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+F2: 3-way join, group, deterministic top-10 (TPC-H Q3 shape).
+
+    The ORDER BY ... LIMIT lowers to TakeOrderedAndProject (no global
+    sort); revenue is rounded BEFORE ordering so both engines rank the
+    same values, with l_orderkey as total-order tiebreak.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey", F.col("o_orderdate").cast("string").alias("orderdate_str")
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate_str")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_multi_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: 5-way star join + agg (TPC-H Q5 shape) — the flagship query.
+
+    Scale posture: region/nation broadcast (tiny forever); customer joins
+    orders and orders joins lineitem on their natural keys — Catalyst/AQE
+    picks SMJ or shuffled hash and handles skew. Filters sit on base
+    tables so they push into the parquet scans.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E. window functions
+# --------------------------------------------------------------------------
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E4: ranking window functions + top-N per group.
+
+    The window order has a total-order tiebreak (o_orderkey) so
+    row_number/ntile are deterministic. One shuffle on o_custkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            # cast to long: Spark ranking fns return int32, the oracle's
+            # window functions return int64 — dtype parity matters
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "e2_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS orderdate_str,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           CAST(EPOCH(o_orderdate - LAG(o_orderdate) OVER w) AS BIGINT) AS gap_seconds
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def e2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: lag/lead/first_value analytic functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("orderdate_str"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        (
+            F.unix_timestamp("o_orderdate")
+            - F.unix_timestamp(F.lag("o_orderdate").over(w))
+        ).alias("gap_seconds"),
+    )
+
+
+@query(
+    "e3_running_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    """,
+)
+def e3_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: frame-based window aggregates (running sum, moving average)."""
+    o = load_table(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec_price = F.col("o_totalprice").cast("decimal(38,2)")
+    frame_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame3 = w_ord.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec_price).over(frame_all).cast("double").alias("running_total"),
+        (
+            F.sum(dec_price).over(frame3).cast("double")
+            / F.count(F.lit(1)).over(frame3)
+        ).alias("moving_avg3"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F. sorts / limits
+# --------------------------------------------------------------------------
+
+@query(
+    "f1_multi_sort",
+    oracle="""
+    WITH withnulls AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal,
+           ROW_NUMBER() OVER (ORDER BY c_mktsegment ASC, bal DESC NULLS LAST,
+                              c_custkey ASC) AS sort_pos
+    FROM withnulls
+    """,
+)
+def f1_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: multi-key sort asc/desc with NULLS LAST.
+
+    The driver hash is order-insensitive, so the sort is materialized as
+    an explicit sort_pos column (row_number over the same total order) —
+    that makes sort correctness hash-checkable.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    withnulls = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    w = Window.orderBy(
+        F.asc("c_mktsegment"), F.desc_nulls_last("bal"), F.asc("c_custkey")
+    )
+    return withnulls.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal",
+        F.row_number().over(w).cast("long").alias("sort_pos"),
+    )
+
+
+@query(
+    "f2_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS VARCHAR) AS orderdate_str
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def f2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: global top-k -> TakeOrderedAndProject (per-partition heap +
+    merge at driver; never a full global sort). o_orderkey tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("string").alias("orderdate_str"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# G. set operations
+# --------------------------------------------------------------------------
+
+@query(
+    "g1_union",
+    oracle="""
+    SELECT key, name, src FROM (
+      SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+      WHERE c_acctbal > 9500
+      UNION ALL
+      SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier
+      WHERE s_acctbal > 9500
+    )
+    """,
+)
+def g1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: union all by name (never positional — survives column reorder)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.lit("supplier").alias("src"),
+        )
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "g1b_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def g1b_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: union distinct (union + dedup shuffle)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "g2_intersect_except",
+    oracle="""
+    SELECT nationkey, which FROM (
+      SELECT n.nationkey, 'both' AS which FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+      ) n
+      UNION ALL
+      SELECT n.nationkey, 'customer_only' AS which FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+      ) n
+    )
+    """,
+)
+def g2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: intersect / except (distinct variants)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only_c = c.subtract(s).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
+@query(
+    "g3_dedup_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    """,
+)
+def g3_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: full-row distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_quantity").distinct()
+
+
+@query(
+    "g3b_dedup_subset_keepmin",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def g3b_dedup_subset_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: subset dedup with a deterministic keep-min rule.
+
+    dropDuplicates(subset) keeps an arbitrary row (whichever arrives
+    first) — fine for dedup semantics but not hash-checkable; the engine
+    therefore exposes the deterministic window formulation, which is also
+    the scale-safe pattern (single shuffle on the dedup key).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,71 @@
+"""SparkSession construction with the engine's required configs.
+
+Configs chosen for scale-out (SURVEY.md §4): AQE on (runtime coalesce /
+skew-join split replaces manual shuffle tuning at 100 TB), Arrow for any
+Python-boundary transfer, UTC session time so timestamp semantics match
+the DuckDB oracle, and the nanos-as-long legacy flag required to read
+``events.parquet`` (SURVEY.md §1.4 — Spark 4.x otherwise throws
+``PARQUET_TYPE_ILLEGAL`` on INT64 TIMESTAMP(NANOS)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every engine session needs. Applied both at
+#: build time (get_spark) and defensively at use time (ensure_engine_confs)
+#: because the driver may hand us a session we didn't build.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an externally-built session (best effort).
+
+    The driver contract (``__spark_entry__.py``) passes us a SparkSession
+    it built; these confs are all runtime-settable SQL confs, so we set
+    them here rather than requiring a rebuild.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (test rig);
+    on a real cluster pass ``None`` via spark-submit and leave master
+    unset in the builder.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_engine_confs(spark)
