@@ -1,1 +1,229 @@
-"""Placeholder — filled in a later milestone."""
+"""Event-stream-shaped queries over ``events`` (SURVEY.md §2 categories
+J1–J4 batch formulations + C8 as-of join + H6 JSON lives in scalar.py).
+
+These are batch queries shaped like Structured Streaming operations (the
+real readStream variants live in etl_data_pipeline_spark/streaming/);
+the DuckDB oracle is batch SQL, so parity is checked on the batch forms.
+
+``value`` is a generic double (not decimal-grid money), so its sums are
+rounded to 6dp — cross-engine summation-order noise is ~1e-12 relative
+while 6dp tie points are effectively measure-zero for generic doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.operators.sessionize import asof_join, sessionize
+from etl_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "events_tumbling",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: tumbling 1-hour window aggregation (F.window).
+
+    In streaming this is the same expression after readStream +
+    withWatermark; Catalyst plans one shuffle on (window, event_type)
+    with partial aggregation map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "j2_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT e.*,
+             DATE_TRUNC('hour', e.ts)
+               + (CAST(FLOOR(EPOCH(e.ts - DATE_TRUNC('hour', e.ts)) / 900) AS INTEGER) - k.k)
+                 * INTERVAL 15 MINUTE AS window_start
+      FROM events e
+      CROSS JOIN (SELECT UNNEST(RANGE(4)) AS k) k
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM slid
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def j2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: sliding window (1 hour window, 15 minute slide) — each event
+    lands in 4 overlapping windows; the oracle reproduces that by
+    exploding 4 slide offsets per event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_type, value,
+             event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts - LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+"""
+
+
+@query(
+    "j3_session_window",
+    oracle=_SESSION_ORACLE
+    + """
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def j3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: gap-based session windows via native F.session_window.
+
+    Native semantics: session extends while events arrive within the gap;
+    window end = last event + gap — exactly what the lag-gap-cumsum oracle
+    computes. In streaming the same expression works after withWatermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "j4_sessionization_metrics",
+    oracle=_SESSION_ORACLE
+    + """
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT)
+             - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_s,
+           ROUND(SUM(value), 6) AS session_value,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COALESCE(MIN(ts) FILTER (WHERE event_type = 'click')
+              <= MAX(ts) FILTER (WHERE event_type = 'purchase'), FALSE) AS click_then_purchase
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def j4_sessionization_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: per-session metrics (events/session, duration, value, funnel
+    click→purchase) on the lag-gap-cumsum sessionization operator."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_minutes=30)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.coalesce(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+            <= F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.lit(False),
+        ).alias("click_then_purchase"),
+    )
+
+
+@query(
+    "c8_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           c.event_id AS click_event_id,
+           CAST(c.ts AS VARCHAR) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: as-of join — for each purchase, the latest click by the same
+    user at or before the purchase time.
+
+    Implemented as tagged-union + ordered window carry-forward
+    (operators/sessionize.asof_join): one shuffle on user_id, linear in
+    events — the formulation that survives 100 TB. The DuckDB oracle
+    cross-checks with its native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("r_event_id").alias("click_event_id"),
+        F.col("r_ts").cast("string").alias("click_ts"),
+    )

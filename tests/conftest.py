@@ -43,7 +43,9 @@ def canonical_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
     if len(df) == 0:
         return df
-    order = df.astype(str).sort_values(by=list(df.columns)).index
+    # stringify with a canonical null marker so None/NaN/NaT sort the same
+    keyed = df.astype(str).where(~df.isna(), "\x00null")
+    order = keyed.sort_values(by=list(df.columns)).index
     return df.loc[order].reset_index(drop=True)
 
 
@@ -64,6 +66,14 @@ def normalize_cell(v):
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    # dtype parity matters to the driver's schema check: e.g. DuckDB
+    # SUM(int) yields HUGEINT->float64 unless CAST AS BIGINT in the oracle.
+    dt_s = {c: str(spark_pdf[c].dtype) for c in spark_pdf.columns}
+    dt_o = {c: str(oracle_pdf[c].dtype) for c in oracle_pdf.columns}
+    assert dt_s == dt_o, (
+        f"{name}: dtype mismatch "
+        f"{ {k: (dt_s[k], dt_o[k]) for k in dt_s if dt_s[k] != dt_o.get(k)} }"
     )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
