@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline query set from BASELINE.md.
+
+Usage: ``python bench.py``.  Data dir comes from ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``); parallelism from ``$SPARK_GRAFT_CPUS``
+(default 32).  Each query is run twice in one SparkSession and the warm
+(second) time is reported, matching BASELINE.md's method.  Prints exactly
+one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from etl_data_pipeline_spark.plans import QUERIES, load_all_plans  # noqa: E402
+from etl_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: The headline set measured in BASELINE.md (same names, same order).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_topk_join",
+    "q5_multi_join",
+    "window_rank",
+    "distinct_agg",
+    "events_tumbling",
+    "wordcount",
+    "cosine_topk",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_plans()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        warm = float("nan")
+        for _ in range(2):  # cold then warm; report warm like BASELINE.md
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.collect()
+            warm = time.perf_counter() - t0
+        timings[name] = round(warm, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
