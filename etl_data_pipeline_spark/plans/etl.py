@@ -1,0 +1,508 @@
+"""Classic ETL / warehouse operators beyond the relational core: cube &
+grouping sets, pivot/unpivot reshaping, CDC latest-record extraction,
+merge-upsert (SCD-style), date-spine densification, data-quality audit,
+statistical aggregates, fuzzy (edit-distance) matching, and word-n-gram
+Jaccard near-dup — all pure DataFrame compositions so Catalyst owns the
+physical plan.
+
+Determinism follows functions/canonical.py conventions: money through
+DECIMAL(38,2) sums, floats that summation-order could perturb are rounded
+identically in both engines, timestamps cross the oracle boundary as
+strings, counts are BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.functions.canonical import dec_sum
+from etl_data_pipeline_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# D5 extensions: cube / grouping sets
+# --------------------------------------------------------------------------
+
+@query(
+    "d5b_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def d5b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: CUBE — all 2^k grouping combinations in one pass (Expand node).
+
+    Scale: Expand multiplies rows by the number of grouping sets before
+    the shuffle, but partial aggregation collapses them map-side; the
+    group-key space here is tiny so the exchange is negligible.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "d5c_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def d5c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: explicit GROUPING SETS via the DataFrame API (Spark >= 4.0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Reshaping: pivot / unpivot
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIAS = {
+    "1-URGENT": "n_urgent",
+    "2-HIGH": "n_high",
+    "3-MEDIUM": "n_medium",
+    "4-NOT SPECIFIED": "n_notspec",
+    "5-LOW": "n_low",
+}
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with an explicit value list.
+
+    Passing the value list skips Spark's extra distinct-values job (a
+    full scan) — at 100 TB the pivot domain must always be declared.
+    Empty cells are filled 0 to match COUNT FILTER semantics.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(a) for p, a in _PRIORITY_ALIAS.items()],
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide→long; narrow map-only transform, no shuffle."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC / upsert
+# --------------------------------------------------------------------------
+
+@query(
+    "cdc_latest_per_key",
+    oracle="""
+    SELECT user_id, CAST(ts AS VARCHAR) AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest record per key (the standard changelog→
+    snapshot step). One shuffle on the key; at 100 TB this is the
+    window-dedup pattern that replaces a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("string").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS delta
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+      UNION ALL SELECT 999999999, 100.0
+    )
+    SELECT COALESCE(c.c_custkey, u.o_custkey) AS custkey,
+           COALESCE(c.c_name, '(new)') AS c_name,
+           COALESCE(c.c_acctbal, 0) + COALESCE(u.delta, 0) AS new_bal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.o_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.o_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert as full-outer join + coalesce (insert / update /
+    keep branches all exercised; a synthetic key triggers the insert).
+
+    Scale: both sides shuffle on the merge key once; with bucketed base
+    tables the exchange on the base side disappears entirely.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(dec_sum(F.col("o_totalprice"), 2).alias("delta"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit(999999999).cast("long").alias("o_custkey"),
+                F.lit(100.0).alias("delta"),
+            )
+        )
+    )
+    m = cust.join(upd, cust.c_custkey == upd.o_custkey, "full_outer")
+    return m.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_name", F.lit("(new)")).alias("c_name"),
+        (F.coalesce("c_acctbal", F.lit(0)) + F.coalesce("delta", F.lit(0))).alias(
+            "new_bal"
+        ),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date spine / densification
+# --------------------------------------------------------------------------
+
+@query(
+    "date_spine",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ), days AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT STRFTIME(days.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.n, 0) AS n_orders
+    FROM days LEFT JOIN daily USING (day)
+    """,
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: generate every day in the data's range
+    and left-join daily counts, zero-filling gaps (time-series ETL
+    staple). The spine is generated, not scanned — O(days), broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR),
+           CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority),
+           MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: per-column null count, distinct count, min/max
+    — computed in a SINGLE pass over the table (one wide agg row, then
+    stack to long form), not one scan per column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_tp"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_tp"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_od"),
+        F.count_distinct("o_orderdate").alias("nd_od"),
+        F.min("o_orderdate").cast("string").alias("mn_od"),
+        F.max("o_orderdate").cast("string").alias("mx_od"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nn_op"),
+        F.count_distinct("o_orderpriority").alias("nd_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck,
+             'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp,
+             'o_orderdate', nn_od, nd_od, mn_od, mx_od,
+             'o_orderpriority', nn_op, nd_op, mn_op, mx_op
+           ) AS (col_name, n_nulls, n_distinct, min_val, max_val)"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS cov_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev / covar) per group.
+
+    Single-pass co-moment aggregation; results are rounded IDENTICALLY in
+    both engines because summation order perturbs the last ulps (the
+    rounding scale leaves >6 orders of magnitude of safety).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "cov_price_qty"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching / n-gram near-dup
+# --------------------------------------------------------------------------
+
+@query(
+    "fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 5
+    """,
+)
+def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) matching within a blocking key.
+
+    The equi-join on the block (brand) keeps the pair space O(sum of
+    block^2) instead of O(n^2); at 100 TB the block must bound group
+    size (add a prefix/length band as a second key if brands skew).
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("dist") <= 5)
+        .select("a_key", "b_key", "a_name", "b_name", "dist")
+    )
+
+
+@query(
+    "i4c_ngram_jaccard",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+             UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS i
+      FROM documents
+    ), bg AS (
+      SELECT DISTINCT a.doc_id, a.lang, a.tok || ' ' || b.tok AS sh
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM bg a JOIN bg b
+        ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inter.a, inter.b,
+           inter.i / CAST(ca.n + cb.n - inter.i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = inter.a
+    JOIN cnt cb ON cb.doc_id = inter.b
+    WHERE inter.i / CAST(ca.n + cb.n - inter.i AS DOUBLE) >= 0.5
+    """,
+)
+def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 variant: word-BIGRAM (n-gram) Jaccard near-dup, blocked by lang.
+
+    Bigram shingles are far more selective than unigram tokens, so the
+    inverted-index self-join materializes fewer candidate pairs — the
+    better exact verifier at scale (and the shingle of choice feeding
+    MinHash in i4b).
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "s", F.split("text", " ")
+    )
+    bg = d.select(
+        "doc_id",
+        F.col("lang").alias("block"),
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 1), (x, i) -> concat(x, ' ', s[i + 1]))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    cnt = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = bg.select(
+        "block", "sh", F.col("doc_id").alias("a")
+    )
+    b = bg.select(
+        "block", "sh", F.col("doc_id").alias("b")
+    )
+    inter = (
+        a.join(b, ["block", "sh"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "a")
+        .join(cb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )

@@ -22,11 +22,15 @@ ORACLES: dict[str, str] = {}
 #: importing the package stays cheap.
 _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.relational",
+    "etl_data_pipeline_spark.plans.etl",
     "etl_data_pipeline_spark.plans.scalar",
     "etl_data_pipeline_spark.plans.events",
     "etl_data_pipeline_spark.plans.text",
     "etl_data_pipeline_spark.plans.vectors",
     "etl_data_pipeline_spark.plans.io",
+    "etl_data_pipeline_spark.plans.multimodal",
+    "etl_data_pipeline_spark.plans.udfs",
+    "etl_data_pipeline_spark.plans.streaming",
 ]
 
 _loaded = False
