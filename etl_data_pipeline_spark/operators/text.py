@@ -1,0 +1,272 @@
+"""Text / LLM-data-pipeline operators (SURVEY.md §2 category I + the
+training-data operators from the north star: dedup family, text
+analysis, fingerprinting).
+
+Everything here is pure DataFrame composition — token explode, hash,
+self-join, window — so Catalyst owns the physical plan and each operator
+scales by partitioning on doc/token keys.
+
+Cross-engine hash: ``md5_hash32`` maps any string to a stable 32-bit int
+identically in Spark (``conv(substring(md5(x),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,8))::BIGINT``) — the foundation for
+MinHash/SimHash parity with the oracle, and (unlike a dense_rank vocab id)
+it needs no global sort, so it is also the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: modulus for affine MinHash permutations; prime, small enough that
+#: a_i * h stays far below int64 overflow.
+MINHASH_P = 1_000_003
+
+
+def md5_hash32(col: Column) -> Column:
+    """Stable 32-bit string hash reproducible in ANSI SQL (see module doc)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode documents into (doc row..., pos, token). One narrow stage."""
+    return docs.select(
+        "*", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+
+
+def distinct_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token) distinct pairs + per-doc distinct count ``n_tok``."""
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).distinct()
+    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    return t.join(counts, "doc_id")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """I3: exact dedup by content hash, deterministic keep-min-doc_id.
+
+    Scale: one shuffle on the 256-bit hash; survivors carry the group
+    size. This is the always-first dedup pass in a training-data pipeline.
+    """
+    hashed = docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.select(
+            "doc_id",
+            "content_hash",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("content_hash"))
+            .alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float, block_col: str = "lang"
+) -> DataFrame:
+    """I4: all-pairs token-set Jaccard within a blocking key.
+
+    Blocked self-join on (block, token): candidate pairs only materialize
+    for docs sharing a token and block — the classic inverted-index join.
+    At 100 TB the block must be finer (LSH bands: see minhash_lsh_pairs);
+    this exact variant is the verifier those candidates feed into.
+    """
+    t = docs.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).distinct()
+    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    t = t.join(counts, "doc_id")
+    a = t.select(
+        F.col("block"),
+        F.col("token"),
+        F.col("doc_id").alias("a"),
+        F.col("n_tok").alias("na"),
+    )
+    b = t.select(
+        F.col("block").alias("block_b"),
+        F.col("token").alias("token_b"),
+        F.col("doc_id").alias("b"),
+        F.col("n_tok").alias("nb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a.block == b.block_b) & (a.token == b.token_b) & (a.a < b.b),
+        )
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "inter", "jaccard"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures: (doc_id, i, minhash) for i in [0, num_hashes).
+
+    Affine permutations h_i(x) = (a_i * x + b_i) mod P over the md5-based
+    token hash. Pure groupBy(min) — no global state, linear scale-out.
+    """
+    t = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .withColumn("h", md5_hash32(F.col("token")) % MINHASH_P)
+    )
+    hashes = t.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            ((F.col("i") * 37 + 11) * F.col("h") + (F.col("i") * 104729 + 17))
+            % MINHASH_P
+        ).alias("hv"),
+    )
+    return hashes.groupBy("doc_id", "i").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """I4 scale path: MinHash + LSH banding near-dup detection.
+
+    Bands of ``band_size`` signature rows hash candidate pairs into
+    buckets (join on the band key — never all-pairs); candidates are then
+    verified with exact token-set Jaccard. With 16 hashes in 4 bands the
+    S-curve crosses ~0.7 similarity.
+    """
+    sig = minhash_signatures(docs, num_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("i") / band_size).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "-", F.transform(F.array_sort(F.collect_list(F.struct("i", "minhash"))), lambda s: s["minhash"].cast("string"))
+            ).alias("band_key")
+        )
+    )
+    left = bands.select(
+        F.col("band").alias("band_l"),
+        F.col("band_key").alias("key_l"),
+        F.col("doc_id").alias("a"),
+    )
+    right = bands.select(
+        F.col("band").alias("band_r"),
+        F.col("band_key").alias("key_r"),
+        F.col("doc_id").alias("b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.band_l == right.band_r)
+            & (left.key_l == right.key_r)
+            & (left.a < right.b),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (inverted-index join restricted
+    # to candidate pairs via semi-join on both sides)
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = t.select(F.col("doc_id").alias("a"), "token")
+    tb = t.select(F.col("doc_id").alias("b_r"), F.col("token").alias("token_b"))
+    inter = (
+        cand.join(ta, "a")
+        .join(
+            tb,
+            (F.col("token") == F.col("token_b")) & (F.col("b") == F.col("b_r")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"))
+    jac = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash: tf-weighted ±1 vote per bit of the token hash, sign →
+    fingerprint bit. Near-identical docs land within small Hamming
+    distance. Returns (doc_id, simhash)."""
+    t = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", md5_hash32(F.col("token")))
+    )
+    votes = t.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        (
+            F.col("tf")
+            * (
+                (
+                    F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j")).cast("long"))
+                    % 2
+                )
+                * 2
+                - 1
+            )
+        ).alias("vote"),
+    )
+    bitvals = (
+        votes.groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("v") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
+            )
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Token n-gram shingles via ordered window leads: (doc_id, shingle)."""
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("token")] + [F.lead("token", k).over(w) for k in range(1, n)]
+    sh = t.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"), *[
+        F.lead("token", n - 1).over(w).alias("_tail")
+    ])
+    return sh.filter(F.col("_tail").isNotNull()).drop("_tail")

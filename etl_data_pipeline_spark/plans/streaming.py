@@ -1,0 +1,53 @@
+"""Streaming demo queries (J5/J6) — rows-only driver checks (no DuckDB
+analogue for watermark semantics); exact expectations are asserted by
+tests/test_streaming.py against batch computations."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_pipeline_spark.plans.registry import query
+from etl_data_pipeline_spark.streaming.jobs import (
+    stateful_running_totals,
+    stream_dedup_within_watermark,
+    windowed_counts_with_watermark,
+)
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch", "stream"
+)
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.join(
+        _SCRATCH, os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    )
+
+
+@query("j5_stream_watermark")  # rows-only: watermark drop is not batch SQL
+def j5_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: real readStream (availableNow, 2 micro-batches) with watermark
+    + windowed agg in append mode; late batch dropped."""
+    return windowed_counts_with_watermark(spark, sf_dir, _tag(sf_dir))
+
+
+@query("j6_stream_dedup")  # rows-only: stateful streaming dedup
+def j6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: dropDuplicatesWithinWatermark over overlapping micro-batches."""
+    return stream_dedup_within_watermark(spark, sf_dir, _tag(sf_dir))
+
+@query(
+    "j7_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def j7_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: applyInPandasWithState running totals per user; the final
+    state snapshot equals the batch aggregate, so the batch SQL is an
+    exact oracle (sums rounded identically at 4dp on both sides)."""
+    return stateful_running_totals(spark, sf_dir, _tag(sf_dir))

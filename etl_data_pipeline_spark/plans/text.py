@@ -1,1 +1,419 @@
-"""Placeholder — filled in a later milestone."""
+"""Text / LLM-data queries over ``documents`` (SURVEY.md §2 category I
+plus the north-star training-data operators: dedup family, language ID,
+quality scoring, token counting, fingerprinting).
+
+Oracle parity notes: token hashes use the md5-hex trick (identical in
+both engines, see operators/text.py); Jaccard/scores are integer ratios
+(single double division — deterministic); no money-style rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.operators.text import (
+    MINHASH_P,
+    exact_dedup,
+    jaccard_pairs,
+    md5_hash32,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_fingerprints,
+    tokens,
+)
+from etl_data_pipeline_spark.plans.registry import query
+
+#: shared oracle CTE: one row per (doc_id, token) occurrence, in order
+_TOKENS_CTE = """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    )
+"""
+
+
+@query(
+    "wordcount",
+    oracle=_TOKENS_CTE
+    + """
+    SELECT token, COUNT(*) AS n
+    FROM toks
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: tokenize + word count (split/explode/groupBy), top-20."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "i2_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_tokens_per_doc,
+           CAST(SUM(n_chars) AS BIGINT) / CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)::DOUBLE
+             AS avg_chars_per_token
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def i2_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: corpus statistics per (lang, source) — integer sums, single
+    double divisions (deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(ntok).alias("total_tokens"),
+        (F.sum(ntok) / F.count(F.lit(1)).cast("double")).alias("avg_tokens_per_doc"),
+        (F.sum("n_chars") / F.sum(ntok).cast("double")).alias("avg_chars_per_token"),
+    )
+
+
+@query(
+    "i3_exact_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, SHA256(text) AS content_hash FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_copies
+    FROM hashed
+    GROUP BY content_hash
+    """,
+)
+def i3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: exact content-hash dedup, deterministic keep-min survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "content_hash", "n_copies")
+
+
+_JACCARD_ORACLE = """
+    WITH t AS (
+      SELECT DISTINCT doc_id, lang,
+             UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a, i.b, i.inter,
+           i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.a
+    JOIN counts cb ON cb.doc_id = i.b
+    WHERE i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) >= {tau}
+"""
+
+
+@query("i4_jaccard_pairs", oracle=_JACCARD_ORACLE.format(tau=0.8))
+def i4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: n-gram (token-set) Jaccard near-dup pairs, blocked by lang.
+
+    Exact inverted-index self-join — the verifier stage; the LSH variant
+    below is what runs first at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.8, block_col="lang")
+
+
+@query(
+    "i4b_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             ('0x' || SUBSTR(MD5(token), 1, 8))::BIGINT % {MINHASH_P} AS h
+      FROM t
+    ), sig AS (
+      SELECT doc_id, i.range AS i,
+             MIN(((i.range * 37 + 11) * h + (i.range * 104729 + 17)) % {MINHASH_P})
+               AS minhash
+      FROM th, RANGE(16) i
+      GROUP BY doc_id, i.range
+    ), bands AS (
+      SELECT doc_id, i // 4 AS band,
+             STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a, c.b, COUNT(*) AS inter
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.a
+      JOIN t tb ON tb.doc_id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.a
+    JOIN counts cb ON cb.doc_id = i.b
+    WHERE i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) >= 0.5
+    """,
+)
+def i4b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 scale path: MinHash(16) + LSH(4x4 bands) candidates, exact
+    Jaccard verify at 0.5 — never materializes all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+
+
+@query(
+    "i5_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * LN(n.n_docs / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, ROUND(tfidf, 6) AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def i5_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: TF-IDF top-3 terms per document.
+
+    Formula pinned on both sides: tf * ln(N / df) with df as double;
+    ties (same tf, df) break on token asc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension; fine to evaluate eagerly
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+      ) GROUP BY doc_id, token
+    ), th AS (
+      SELECT doc_id, tf, ('0x' || SUBSTR(MD5(token), 1, 8))::BIGINT AS h
+      FROM tf
+    ), votes AS (
+      SELECT doc_id, j.range AS j,
+             SUM(tf * ((CAST(FLOOR(h / POW(2, j.range)) AS BIGINT) % 2) * 2 - 1)) AS v
+      FROM th, RANGE(16) j
+      GROUP BY doc_id, j.range
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: 16-bit SimHash fingerprint per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, bits=16)
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT lang AS cand_lang, token, COUNT(*) AS freq
+      FROM toks GROUP BY lang, token
+    ), scores AS (
+      SELECT t.doc_id, t.lang, f.cand_lang,
+             CAST(SUM(f.freq) AS BIGINT) AS score
+      FROM toks t JOIN freq f ON f.token = t.token
+      GROUP BY t.doc_id, t.lang, f.cand_lang
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang, score,
+           (cand_lang = lang) AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, cand_lang) AS rn FROM scores)
+    WHERE rn = 1
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: corpus-statistical language ID.
+
+    Per-lang token frequencies are the model (n-gram heuristic degenerates
+    to unigram here — the corpus tokens carry no sub-word structure);
+    prediction = argmax over langs of summed token frequency, integer
+    scores so parity is exact. Ties break on lang asc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy(F.col("lang").alias("cand_lang"), "token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    scores = (
+        toks.join(freq, "token")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.sum("freq").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand_lang").alias("pred_lang"),
+            "score",
+            (F.col("cand_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, n_chars,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_distinct / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+           n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           n_chars / CAST(n_tokens AS DOUBLE) AS avg_token_span,
+           0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+             + 0.2 * (CASE WHEN n_tokens >= 30 THEN 1.0 ELSE n_tokens / 30.0 END)
+             AS quality
+    FROM stats
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: document quality score from token statistics
+    (type/token ratio, stopword ratio, length factor) — the standard
+    pre-training heuristic filter, all integer ratios (deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+    ttr = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    length_factor = F.when(F.size(toks) >= 30, F.lit(1.0)).otherwise(
+        n_tokens / F.lit(30.0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars") / n_tokens).alias("avg_token_span"),
+        (0.5 * ttr + 0.3 * (F.lit(1.0) - stop_ratio) + 0.2 * length_factor).alias(
+            "quality"
+        ),
+    )
+
+
+@query(
+    "token_count_est",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS bpe_est_chars,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '[a-z]{{1,4}}')) - 1 AS BIGINT)
+             AS bpe_est_chunks
+    FROM documents
+    """.replace("{{", "{").replace("}}", "}"),
+)
+def token_count_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting — whitespace tokens plus two BPE-ish
+    estimators (chars/4 and 4-char-chunk splitting; both engines use the
+    same greedy regex semantics for this pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("bpe_est_chars"),
+        (F.size(F.split("text", "[a-z]{1,4}")) - 1)
+        .cast("long")
+        .alias("bpe_est_chunks"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH sh AS (
+      -- range() cannot take lateral args in DuckDB: cross-join a constant
+      -- position domain (documents are short) and filter to valid starts
+      SELECT d.doc_id,
+             STRING_SPLIT(d.text, ' ')[i.range + 1] || ' ' ||
+             STRING_SPLIT(d.text, ' ')[i.range + 2] || ' ' ||
+             STRING_SPLIT(d.text, ' ')[i.range + 3] AS shingle
+      FROM documents d, RANGE(1000) i
+      WHERE i.range < LEN(STRING_SPLIT(d.text, ' ')) - 2
+    )
+    SELECT doc_id,
+           MIN(('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT) AS fingerprint,
+           COUNT(DISTINCT shingle) AS n_shingles,
+           MIN(shingle) AS min_shingle
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: document fingerprint = min-wise hash over token
+    3-gram shingles (one-permutation MinHash / winnowing-style)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    return sh.groupBy("doc_id").agg(
+        F.min(md5_hash32(F.col("shingle"))).alias("fingerprint"),
+        F.count_distinct("shingle").alias("n_shingles"),
+        F.min("shingle").alias("min_shingle"),
+    )

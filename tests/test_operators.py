@@ -1,0 +1,120 @@
+"""Semantic assertions for operators whose driver check is rows-only
+(no SQL oracle): streaming watermark/dedup, approx sketches, ANN recall,
+multimodal checksum. Each is checked against an exact batch computation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.plans import QUERIES, load_all_plans
+from tests.conftest import SF_DIR
+
+load_all_plans()
+
+
+def test_j5_watermark_gates_append_emission(spark):
+    """Append mode emits exactly the windows finalized by the final
+    watermark (max on-time ts - 1h); windows past it are held in state.
+    (Below-watermark input dropping is best-effort in Spark and does not
+    fire in this path — see jobs.windowed_counts_with_watermark.)"""
+    out = QUERIES["j5_stream_watermark"](spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    max_ts = (
+        ev.filter(F.col("ts") >= "2024-01-10 00:00:00")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    expected = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
+        .toPandas()
+    )
+    held_back = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") > F.lit(wm))
+        .count()
+    )
+    a = out.sort_values("window_start").reset_index(drop=True)
+    b = expected.sort_values("window_start").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["window_start"] == b["window_start"]).all()
+    assert (a["n_events"] == b["n_events"]).all()
+    assert held_back > 0  # the watermark genuinely gated something
+
+
+def test_j6_stream_dedup_matches_batch_distinct(spark):
+    out = QUERIES["j6_stream_dedup"](spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    expected = (
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")).toPandas()
+    )
+    a = out.sort_values("event_type").reset_index(drop=True)
+    b = expected.sort_values("event_type").reset_index(drop=True)
+    assert (a["event_type"] == b["event_type"]).all()
+    assert (a["n_events"] == b["n_events"]).all()
+
+
+def test_d4_approx_within_tolerance(spark):
+    pdf = QUERIES["d4_approx_distinct"](spark, SF_DIR).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for _, row in pdf.iterrows():
+        rel = abs(row["approx_parts"] - exact[row["l_returnflag"]]) / exact[
+            row["l_returnflag"]
+        ]
+        assert rel < 0.05, f"approx_count_distinct off by {rel:.1%}"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    ann = QUERIES["ann_lsh"](spark, SF_DIR).toPandas()
+    exact = QUERIES["i7_knn"](spark, SF_DIR).toPandas()
+    ann_pairs = set(zip(ann["vec_id"], ann["neighbor"]))
+    exact_pairs = set(zip(exact["vec_id"], exact["neighbor"]))
+    recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
+    # near-random vectors and 16 buckets: recall is structurally low; the
+    # assertion guards the mechanism (non-empty, sane), trend is printed
+    assert len(ann_pairs) > 0
+    assert 0.0 <= recall <= 1.0
+    print(f"ann_lsh recall@3 = {recall:.3f}")
+
+
+def test_multimodal_checksum_matches_python(spark):
+    d = load_table(spark, SF_DIR, "documents").limit(20).toPandas()
+    from etl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 20)
+    feats = extract_features(attach_binary_payload(docs)).toPandas()
+    by_id = {r.doc_id: r for r in feats.itertuples()}
+    for _, row in d.iterrows():
+        b = row["text"].encode("utf-8")
+        checksum = 0
+        for byte in b:
+            checksum = (checksum * 31 + byte) % 1_000_000_007
+        got = by_id[row["doc_id"]]
+        assert got.checksum == checksum
+        assert got.payload_bytes == len(b)
+
+
+def test_multimodal_decoders_are_explicit_stubs():
+    from etl_data_pipeline_spark.operators import multimodal as mm
+
+    for fn in (mm.decode_image, mm.decode_audio, mm.sample_video_frames):
+        with pytest.raises(NotImplementedError):
+            fn(b"\x00")

@@ -1,0 +1,104 @@
+"""Physical-plan audits (SURVEY.md §4): these tests pin the plan shape
+that must survive a 100 TB scale-up — filters pushed to the parquet scan,
+column pruning in ReadSchema, small dims broadcast (no shuffle of the
+fact table for dim joins), and no accidental cartesian/BNLJ in the hot
+similarity paths.
+
+A correctness-green query with the wrong plan is a regression at scale;
+this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_data_pipeline_spark.plans import QUERIES, load_all_plans
+from tests.conftest import SF_DIR
+
+load_all_plans()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan
+    # the shipdate predicate must reach the parquet reader, not sit in a
+    # post-scan Filter only
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    # only the 7 needed columns are read; wide columns are pruned
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = plan_of(spark, "q5_multi_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_no_cartesian(spark):
+    plan = plan_of(spark, "q3_topk_join")
+    assert "CartesianProduct" not in plan
+    # top-k must be TakeOrderedAndProject, not a global sort + limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_no_bnlj(spark):
+    # the numpy-kernel path must never fall back to per-pair BNLJ
+    plan = plan_of(spark, "cosine_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_paths_are_equijoins(spark):
+    # ann_lsh generates its hyperplanes by cross-joining two CONSTANT
+    # ranges (4 x 64 rows) — that cartesian is O(1) and allowed; what must
+    # never appear is a non-equi join touching the embeddings table.
+    for name in ("ann_lsh", "ivf_ann"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        # every BNLJ that appears must be the Cross of the two constant
+        # Range sources (plane generation, 4 x 64 rows; duplicated when
+        # the bucket subplan feeds both sides of the self-join) — never
+        # an equi-join demotion over the embeddings table
+        assert tree.count("BroadcastNestedLoopJoin") == tree.count(
+            "BroadcastNestedLoopJoin Cross"
+        ), name
+
+
+def test_jaccard_is_equijoin(spark):
+    for name in ("i4_jaccard_pairs", "i4c_ngram_jaccard", "i4b_minhash_lsh"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pivot_no_distinct_job(spark):
+    # declared pivot domain: the plan must not contain an extra aggregate
+    # for value discovery (it would appear as a second scan of orders)
+    plan = plan_of(spark, "pivot_wide")
+    # formatted explain lists each node once in the tree and once in the
+    # details section, so a single physical scan appears exactly twice
+    assert plan.count("Scan parquet") == 2
+
+
+def test_merge_upsert_single_shuffle_per_side(spark):
+    plan = plan_of(spark, "merge_upsert")
+    assert "CartesianProduct" not in plan
