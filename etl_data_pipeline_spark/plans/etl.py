@@ -506,3 +506,115 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 / history building
+# --------------------------------------------------------------------------
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS VARCHAR) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS VARCHAR) AS valid_to,
+           event_type
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each change record gets a validity
+    interval [ts, next ts); the open (current) row has valid_to NULL.
+    One window shuffle on the key — the standard dimension-history pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").cast("string").alias("valid_from"),
+        F.lead("ts").over(w).cast("string").alias("valid_to"),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram (portable fixed-width bucketing)
+# --------------------------------------------------------------------------
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 60000), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS lo,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via portable arithmetic bucketing (identical
+    FLOOR(x/width) expression both engines — exact double division, no
+    width_bucket dialect differences). Map-side combinable: one shuffle
+    of bucket_count rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9)).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental (high-watermark) load
+# --------------------------------------------------------------------------
+
+@query(
+    "incremental_merge",
+    oracle="""
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental high-watermark load: the historical summary (rows at or
+    before the watermark) and the increment summary (rows after it) are
+    computed separately and MERGED — and the oracle is the full-table
+    aggregate, proving incremental maintenance reproduces a full
+    recompute exactly (decimal partial sums re-add losslessly).
+
+    Scale: this is the pattern that turns a 100 TB daily recompute into
+    an increment-sized job; only the merge groupBy touches the summary.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wm = F.lit("2000-01-01").cast("timestamp")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
+
+    hist = summarize(o.filter(F.col("o_orderdate") <= wm))
+    inc = summarize(o.filter(F.col("o_orderdate") > wm))
+    return (
+        hist.unionByName(inc)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total").alias("total"),
+        )
+    )

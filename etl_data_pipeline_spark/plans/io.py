@@ -106,3 +106,83 @@ def a4_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dec_sum(F.col("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "a6_schema_evolution",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 2 = 0 THEN p_size END AS p_size,
+           CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END AS p_retailprice
+    FROM part
+    """,
+)
+def a6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: schema-evolution read — two parquet files with DIFFERENT
+    column sets (old writer vs new writer), unified by mergeSchema; the
+    column missing from a file comes back NULL for its rows.
+
+    The oracle reconstructs the same frame from the original table, so a
+    hash match proves the merged read is lossless. Scale note: mergeSchema
+    costs a footer read per file — on 100 TB lakes pin the unified schema
+    in a metastore instead and pass it explicitly.
+    """
+    p = load_table(spark, sf_dir, "part")
+    path = _scratch(sf_dir, "part_evolving")
+    old = p.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_size")
+    new = p.filter(F.col("p_partkey") % 2 == 1).select("p_partkey", "p_retailprice")
+    old.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "v=1"))
+    new.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "v=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(path, "v=1"), os.path.join(path, "v=2"))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@query(
+    "a7_csv_malformed",
+    oracle="""
+    SELECT COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM nation
+    """,
+)
+def a7_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: malformed-row quarantine — PERMISSIVE CSV read routes rows that
+    don't parse into ``_corrupt_record`` instead of failing the job (the
+    ETL dead-letter pattern; DROPMALFORMED/FAILFAST are config flips).
+
+    Two known-bad lines are appended to a valid extract; the query counts
+    clean vs quarantined rows. The frame is cached before filtering on
+    the corrupt column (Spark disallows filtering an uncached corrupt
+    column because the raw record is not otherwise materialized).
+    """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    n = load_table(spark, sf_dir, "nation")
+    path = _scratch(sf_dir, "nation_csv_bad")
+    write_csv(n, path)
+    # drop two malformed lines in as their own file (appending to a
+    # Spark-written part file would invalidate its Hadoop .crc checksum)
+    with open(os.path.join(path, "z-dead-letter.csv"), "w") as fh:
+        fh.write("n_nationkey,n_name,n_regionkey\n")  # header=true is per-file
+        fh.write("garbage-line-without-commas\n")
+        fh.write("not_an_int,BADLAND\n")
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_bad"),
+    )

@@ -118,3 +118,16 @@ def test_multimodal_decoders_are_explicit_stubs():
     for fn in (mm.decode_image, mm.decode_audio, mm.sample_video_frames):
         with pytest.raises(NotImplementedError):
             fn(b"\x00")
+
+
+def test_ivf_recall_vs_exact(spark):
+    ivf = QUERIES["ivf_ann"](spark, SF_DIR).toPandas()
+    exact = QUERIES["i7_knn"](spark, SF_DIR).toPandas()
+    ivf_pairs = set(zip(ivf["vec_id"], ivf["neighbor"]))
+    exact_pairs = set(zip(exact["vec_id"], exact["neighbor"]))
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    # every query probes 2 of 10 cells => recall must beat the 0.2 random
+    # cell-coverage floor by a wide margin if the quantizer works at all
+    assert len(ivf_pairs) > 0
+    assert recall >= 0.2, recall
+    print(f"ivf_ann recall@3 = {recall:.3f}")
