@@ -1,0 +1,201 @@
+"""Spark SQL entry point (SURVEY.md §3 EP2) + scale patterns that only
+show up at cluster data volumes: subquery decorrelation, skew-salted
+joins, and bucketed (shuffle-free) joins.
+
+These queries register temp views and go through the ANTLR SQL parser —
+the same analyzed/optimized/physical pipeline as the DataFrame API, which
+the oracle parity proves.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.plans.registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch", "tables"
+)
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_{tag}")
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+@query(
+    "sql_q6_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2: pure SQL text through spark.sql (TPC-H Q6 shape) — scan with
+    three pushable predicates + global agg, no shuffle beyond the final
+    single-row exchange."""
+    _view(spark, sf_dir, "lineitem")
+    t = _tag(sf_dir)
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem_{t}
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice < 0.5 * (
+      SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2: correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (SURVEY §4), so the 100 TB plan is a single
+    re-usable per-brand aggregate, not a subquery per row."""
+    _view(spark, sf_dir, "part")
+    t = _tag(sf_dir)
+    return spark.sql(f"""
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+        FROM part_{t} p
+        WHERE p.p_retailprice < 0.5 * (
+          SELECT AVG(p2.p_retailprice) FROM part_{t} p2
+          WHERE p2.p_brand = p.p_brand
+        )
+    """)
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2: EXISTS subquery (TPC-H Q4 shape) — rewritten by Catalyst to a
+    left-semi join; the semi join never materializes lineitem columns."""
+    _view(spark, sf_dir, "orders")
+    _view(spark, sf_dir, "lineitem")
+    t = _tag(sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_{t} o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_{t} l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side's key is salted (deterministic
+    ``l_linenumber % SALT``) and the other side replicated SALT-fold, so
+    one hot key spreads over SALT reducers instead of stalling one.
+
+    The oracle is the PLAIN join — salting must be result-invariant.
+    AQE's skewJoin handles moderate skew automatically; explicit salting
+    is the tool when a single key exceeds what one task can hold.
+    """
+    salt_n = 4
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    salted_li = li.withColumn("salt", F.col("l_linenumber") % salt_n)
+    replicated_o = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    salted_li = salted_li.withColumn("salt", F.col("salt").cast("int"))
+    return salted_li.join(
+        replicated_o,
+        (salted_li.l_orderkey == replicated_o.o_orderkey)
+        & (salted_li.salt == replicated_o.salt),
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus")
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both tables written bucketed by the join
+    key, so the sort-merge join runs with NO exchange on either side —
+    the shuffle cost is paid once at write time and amortized over every
+    later join (the 100 TB answer for repeatedly-joined fact tables).
+    tests/test_plans.py asserts the exchange-free plan.
+    """
+    t = _tag(sf_dir)
+    li_name, o_name = f"li_bkt_{t}", f"o_bkt_{t}"
+    base = os.path.join(_SCRATCH, t)
+    if not spark.catalog.tableExists(li_name):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        (
+            li.write.mode("overwrite")
+            .option("path", os.path.join(base, li_name))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .format("parquet")
+            .saveAsTable(li_name)
+        )
+    if not spark.catalog.tableExists(o_name):
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        (
+            o.write.mode("overwrite")
+            .option("path", os.path.join(base, o_name))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .format("parquet")
+            .saveAsTable(o_name)
+        )
+    li_b = spark.table(li_name)
+    o_b = spark.table(o_name)
+    from etl_data_pipeline_spark.functions.canonical import dec_sum
+
+    joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_extendedprice"), 2).alias("total"),
+    )

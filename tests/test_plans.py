@@ -102,3 +102,27 @@ def test_pivot_no_distinct_job(spark):
 def test_merge_upsert_single_shuffle_per_side(spark):
     plan = plan_of(spark, "merge_upsert")
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # with broadcast disabled, the bucketed tables must sort-merge join
+    # with NO exchange on either side (bucket layout replaces the shuffle)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "bucketed_join")
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        join_part = tree.split("SortMergeJoin")[1]
+        # the only exchange allowed is the final single-partition agg one,
+        # which sits ABOVE the join in the tree, never below it
+        assert "Exchange hashpartitioning" not in join_part, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_spreads_keys(spark):
+    plan = plan_of(spark, "skew_salted_join")
+    # the join condition must include the salt column => shuffle keys are
+    # (orderkey, salt), not orderkey alone
+    assert "salt" in plan
