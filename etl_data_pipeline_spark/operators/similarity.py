@@ -346,3 +346,56 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def kmeans_iterations(embeddings: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Iterative k-means (Lloyd) as a driver-side loop over DataFrame ops
+    — the pattern for iterative algorithms on Spark: per-iteration state
+    (centroids) is a small DataFrame, the big table is touched once per
+    iteration, and intermediate assignments are cached to truncate
+    lineage. Deterministic init: the k lowest vec_ids seed the centroids.
+
+    Returns one row per iteration: (iteration, inertia, n_nonempty).
+    At 100 TB: same loop, with centroids broadcast (they stay k x dims)
+    and dims cached in memory/disk; convergence adds a driver-side delta
+    check on the tiny centroid frame.
+    """
+    from pyspark.sql.window import Window
+
+    dims = explode_dims(embeddings).select("vec_id", "pos", "v").cache()
+    seeds = (
+        embeddings.select("vec_id").orderBy("vec_id").limit(k).collect()
+    )
+    seed_ids = [r["vec_id"] for r in seeds]
+    cent = (
+        dims.filter(F.col("vec_id").isin(seed_ids))
+        .select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c"))
+    )
+    results = []
+    for it in range(1, iters + 1):
+        d2 = (
+            dims.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) ** 2).alias("dist2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist2")
+            .cache()
+        )
+        stats = assign.agg(
+            F.round(F.sum("dist2"), 6).alias("inertia"),
+            F.count_distinct("cid").alias("n_nonempty"),
+        ).collect()[0]
+        results.append((it, float(stats["inertia"]), int(stats["n_nonempty"])))
+        cent = (
+            dims.join(assign.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("c"))
+        )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        results, "iteration long, inertia double, n_nonempty long"
+    )

@@ -1,0 +1,132 @@
+"""End-to-end training-data pipeline compositions (the north-star use
+case): deterministic dataset splitting and a full corpus-curation pass
+(exact dedup -> quality filter -> per-slice stats) built ONLY from the
+engine's own operators — proving the pieces compose into the pipeline a
+100 TB pre-training corpus actually runs through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.operators.text import md5_hash32
+from etl_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash bucket
+    (80/10/10). Hash-of-key assignment is reproducible across runs,
+    engines, and cluster sizes — the only split discipline that survives
+    a 100 TB corpus being re-sharded (row_number or rand() both break).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash32(F.col("doc_id").cast("string")) % 100
+    return (
+        d.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "corpus_curation",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY SHA256(text)
+                                         ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn = 1
+    ), q AS (
+      SELECT lang, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a'))) AS n_stop
+      FROM dedup
+    ), scored AS (
+      SELECT lang, source, n_tokens,
+             0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+             + 0.2 * (CASE WHEN n_tokens >= 30 THEN 1.0
+                           ELSE n_tokens / 30.0 END) AS quality
+      FROM q
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE quality >= 0.7 AND n_tokens >= 20
+    GROUP BY lang, source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation pipeline: exact dedup (content hash, keep-min) ->
+    quality scoring (type/token + stopword + length heuristics, same
+    formula as quality_score) -> threshold filter -> per-(lang, source)
+    corpus stats. One DAG, three shuffles (hash dedup, none for scoring
+    — it is row-local — and the final slice agg); at 100 TB the dedup
+    shuffle dominates and shards by content hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    dedup = (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+    quality = (
+        0.5 * (n_distinct / n_tokens)
+        + 0.3 * (F.lit(1.0) - n_stop / n_tokens)
+        + 0.2
+        * F.when(F.size(toks) >= 30, F.lit(1.0)).otherwise(n_tokens / F.lit(30.0))
+    )
+    scored = dedup.select(
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens_i"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    return (
+        scored.filter((F.col("quality") >= 0.7) & (F.col("n_tokens_i") >= 20))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("n_tokens_i").cast("long").alias("total_tokens"),
+        )
+    )

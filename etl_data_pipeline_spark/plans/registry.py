@@ -24,6 +24,7 @@ _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.relational",
     "etl_data_pipeline_spark.plans.etl",
     "etl_data_pipeline_spark.plans.sql_api",
+    "etl_data_pipeline_spark.plans.pipelines",
     "etl_data_pipeline_spark.plans.scalar",
     "etl_data_pipeline_spark.plans.events",
     "etl_data_pipeline_spark.plans.text",

@@ -18,6 +18,7 @@ from etl_data_pipeline_spark.operators.similarity import (
     cosine_topk_pairs,
     embedding_neardup,
     ivf_topk,
+    kmeans_iterations,
     knn,
 )
 from etl_data_pipeline_spark.plans.registry import query
@@ -283,3 +284,12 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside probed cells (see operators/similarity.py::ivf_topk)."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, k=3, nprobe=2)
+
+
+@query("kmeans_lloyd")  # no oracle: iterative algorithm (driver loop)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means over embeddings, 3 iterations (see
+    operators/similarity.py::kmeans_iterations). Rows-only driver check;
+    tests assert monotone non-increasing inertia."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_iterations(e, k=8, iters=3)

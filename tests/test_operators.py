@@ -131,3 +131,12 @@ def test_ivf_recall_vs_exact(spark):
     assert len(ivf_pairs) > 0
     assert recall >= 0.2, recall
     print(f"ivf_ann recall@3 = {recall:.3f}")
+
+
+def test_kmeans_inertia_monotone(spark):
+    pdf = QUERIES["kmeans_lloyd"](spark, SF_DIR).toPandas().sort_values("iteration")
+    inertias = pdf["inertia"].tolist()
+    assert len(inertias) == 3
+    # Lloyd's algorithm never increases inertia
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    assert (pdf["n_nonempty"] >= 1).all()
