@@ -101,3 +101,75 @@ def extract_features(mm: DataFrame) -> DataFrame:
             ])
 
     return mm.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+#: declared schema of the resize stage (payload stays binary)
+RESIZE_SCHEMA = "doc_id long, width int, height int, resized binary"
+
+#: declared schema of the frame-sample stage — NOTE one-to-many: a single
+#: video row fans out to one row per sampled frame
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_checksum long"
+
+
+def resize_payloads(mm: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Arrow-batched 'resize': maps each payload to a fixed w*h byte
+    buffer (truncate/zero-pad — the deterministic stand-in for a real
+    PIL/opencv resample, which would slot into the same batch loop).
+
+    Plumbing that IS real: binary-in/binary-out columns across Arrow,
+    declared output schema, row-count-preserving batch shape, no shuffle.
+    """
+    n = width * height
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:n]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": width,
+                        "height": height,
+                        "resized": b + b"\x00" * (n - len(b)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "resized"])
+
+    return mm.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(mm: DataFrame, frame_size: int = 32, every_n: int = 4) -> DataFrame:
+    """Arrow-batched frame sampling: each payload is treated as a
+    sequence of fixed-size 'frames'; every Nth frame is emitted as its
+    own output row (one-to-many batch shape — the part a naive UDF can't
+    do; mapInPandas output length is free).
+
+    A real decoder (pyav/opencv) replaces the byte-slicing only.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, len(b) // frame_size)
+                for idx in range(0, n_frames, every_n):
+                    fb = b[idx * frame_size : (idx + 1) * frame_size]
+                    checksum = 0
+                    for byte in fb:
+                        checksum = (checksum * 31 + byte) % 1_000_000_007
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_bytes": len(fb),
+                            "frame_checksum": checksum,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"],
+            )
+
+    return mm.mapInPandas(gen, schema=FRAME_SCHEMA)

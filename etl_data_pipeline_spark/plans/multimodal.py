@@ -4,11 +4,14 @@ typed metadata, Arrow-batched decode/feature-extract plumbing)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.catalog import load_table
 from etl_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
+    resize_payloads,
+    sample_frames,
 )
 from etl_data_pipeline_spark.plans.registry import query
 
@@ -36,3 +39,32 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(mm).select(
         "doc_id", "modality", "payload_bytes", "first_byte", "feature"
     )
+
+
+@query("mm_resize")  # rows-only: binary payload output has no SQL oracle
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: binary->binary mapInPandas with declared
+    schema (deterministic stand-in body; see operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_payloads(attach_binary_payload(d), width=8, height=8)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             GREATEST(CAST(FLOOR(n_chars / 32.0) AS BIGINT), 1) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(CEIL(n_frames / 4.0) AS BIGINT) AS n_sampled
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one-to-many mapInPandas fan-out; the
+    oracle checks the fan-out arity per document (frame count from the
+    payload size), proving the batch-shape contract."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(d), frame_size=32, every_n=4)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
