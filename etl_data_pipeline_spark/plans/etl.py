@@ -618,3 +618,94 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Window distribution functions + pagination
+# --------------------------------------------------------------------------
+
+@query(
+    "e1b_percent_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e1b_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 extension: distribution window functions (percent_rank /
+    cume_dist). Ratios of integer ranks — rounded identically at 9dp on
+    both sides (the division itself is exact-input double math)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+@query(
+    "f3_pagination",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def f3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F extension: deterministic pagination (ORDER BY with total-order
+    tiebreak + OFFSET/LIMIT). Note OFFSET forces a single-partition tail
+    at scale — deep pagination on a cluster should become a keyset filter
+    (WHERE key > last_seen ORDER BY key LIMIT n) instead; this operator
+    exists for API parity.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "h4b_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b,
+             STRING_SPLIT(d1.text, ' ') AS ta, STRING_SPLIT(d2.text, ' ') AS tb
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id < 10
+    )
+    SELECT a, b,
+           LIST_SORT(LIST_DISTINCT(LIST_INTERSECT(ta, tb))) AS common,
+           CAST(LEN(LIST_DISTINCT(ta || tb)) AS BIGINT) AS n_union,
+           CAST(LEN(LIST_FILTER(LIST_DISTINCT(ta),
+                x -> NOT LIST_CONTAINS(tb, x))) AS BIGINT) AS n_only_a
+    FROM t
+    """,
+)
+def h4b_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 extension: array set algebra (intersect / union / except) on
+    token arrays — sorted + deduped before output so both engines agree
+    on element order (set ops guarantee none)."""
+    d = load_table(spark, sf_dir, "documents")
+    d1 = d.select(F.col("doc_id").alias("a"), F.split("text", " ").alias("ta"))
+    d2 = d.select(F.col("doc_id").alias("b"), F.split("text", " ").alias("tb"))
+    pairs = d1.filter(F.col("a") < 10).join(d2, F.col("b") == F.col("a") + 1)
+    return pairs.select(
+        "a",
+        "b",
+        F.sort_array(F.array_distinct(F.array_intersect("ta", "tb"))).alias("common"),
+        F.size(F.array_distinct(F.array_union("ta", "tb"))).cast("long").alias(
+            "n_union"
+        ),
+        F.size(F.array_distinct(F.array_except("ta", "tb"))).cast("long").alias(
+            "n_only_a"
+        ),
+    )
