@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_data_pipeline_spark.plans.registry import query
 from etl_data_pipeline_spark.streaming.jobs import (
+    foreach_batch_sink,
     stateful_running_totals,
     stream_dedup_within_watermark,
     windowed_counts_with_watermark,
@@ -51,3 +52,18 @@ def j7_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state snapshot equals the batch aggregate, so the batch SQL is an
     exact oracle (sums rounded identically at 4dp on both sides)."""
     return stateful_running_totals(spark, sf_dir, _tag(sf_dir))
+
+
+@query(
+    "j8_foreach_batch_sink",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_batches
+    FROM events
+    """,
+)
+def j8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: foreachBatch idempotent parquet sink (per-batch overwrite
+    directories); the two staged micro-batches land losslessly, so the
+    sink's contents equal the source table."""
+    return foreach_batch_sink(spark, sf_dir, _tag(sf_dir))

@@ -165,3 +165,37 @@ def stateful_running_totals(
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def foreach_batch_sink(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J8: foreachBatch file sink — each micro-batch lands in its own
+    ``batch_id=N`` directory with overwrite semantics, so a replayed
+    batch (failure/retry) overwrites instead of duplicating: the
+    idempotent exactly-once-per-batch pattern for non-transactional
+    sinks. Returns (n_rows, n_batches) read back FROM THE SINK.
+    """
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j8src"))
+    sink = os.path.join(scratch_dir, "j8sink")
+    stream = _read_staged_stream(spark, staged)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(sink, f"batch_id={batch_id}")
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(scratch_dir, "j8ckpt_" + _unique("c")))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.option("basePath", sink).parquet(sink)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("batch_id").alias("n_batches"),
+    )

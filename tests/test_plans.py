@@ -126,3 +126,25 @@ def test_salted_join_spreads_keys(spark):
     # the join condition must include the salt column => shuffle keys are
     # (orderkey, salt), not orderkey alone
     assert "salt" in plan
+
+
+def test_partitioned_read_prunes(spark):
+    # a4 writes lineitem partitioned by l_returnflag into scratch; a read
+    # filtered on the partition column must show a partition filter and
+    # never a post-scan filter on l_returnflag
+    import os
+    QUERIES["a4_partitioned_write"](spark, SF_DIR).collect()  # ensure written
+    tag = os.path.basename(os.path.normpath(SF_DIR)).replace(".", "_")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "io", tag, "lineitem_part",
+    )
+    df = spark.read.parquet(path).filter("l_returnflag = 'R'")
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "l_returnflag" in pf_line
