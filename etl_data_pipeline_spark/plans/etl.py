@@ -709,3 +709,51 @@ def h4b_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_only_a"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Set operations with multiplicity (G2 _all variants)
+# --------------------------------------------------------------------------
+
+@query(
+    "g2b_setops_all",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+         i AS (SELECT o_orderpriority FROM a INTERSECT ALL
+               SELECT o_orderpriority FROM b),
+         e AS (SELECT o_orderpriority FROM a EXCEPT ALL
+               SELECT o_orderpriority FROM b),
+         ic AS (SELECT o_orderpriority, COUNT(*) AS n_intersect_all FROM i GROUP BY 1),
+         ec AS (SELECT o_orderpriority, COUNT(*) AS n_except_all FROM e GROUP BY 1)
+    SELECT COALESCE(ic.o_orderpriority, ec.o_orderpriority) AS priority,
+           COALESCE(ic.n_intersect_all, 0) AS n_intersect_all,
+           COALESCE(ec.n_except_all, 0) AS n_except_all
+    FROM ic FULL OUTER JOIN ec ON ic.o_orderpriority = ec.o_orderpriority
+    """,
+)
+def g2b_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 _all variants: INTERSECT ALL / EXCEPT ALL keep multiplicities
+    (bag semantics); outputs are per-value multiplicity counts so the
+    result stays bounded at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    ic = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    )
+    ec = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_except_all"))
+    )
+    ic_r = ic.select(F.col("o_orderpriority").alias("p_i"), "n_intersect_all")
+    ec_r = ec.select(F.col("o_orderpriority").alias("p_e"), "n_except_all")
+    m = ic_r.join(ec_r, ic_r.p_i == ec_r.p_e, "full_outer")
+    return m.select(
+        F.coalesce("p_i", "p_e").alias("priority"),
+        F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+        F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+    )

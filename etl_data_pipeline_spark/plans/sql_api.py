@@ -199,3 +199,36 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dec_sum(F.col("l_extendedprice"), 2).alias("total"),
     )
+
+
+@query(
+    "sql_nested_agg_subquery",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def sql_nested_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2: nested aggregate in a correlated predicate (TPC-H Q17 shape)
+    — Catalyst decorrelates to a per-partkey aggregate joined back, so
+    lineitem is scanned twice but never per-row (avg over integer-valued
+    quantities is exact, so the threshold comparison is deterministic)."""
+    _view(spark, sf_dir, "lineitem")
+    _view(spark, sf_dir, "part")
+    t = _tag(sf_dir)
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem_{t} l JOIN part_{t} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem_{t} l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+    """)
