@@ -4,8 +4,16 @@
 Usage: ``python bench.py``.  Data dir comes from ``$SPARK_GRAFT_SF_DIR``
 (default ``/root/testdata/sf0.1``); parallelism from ``$SPARK_GRAFT_CPUS``
 (default 32).  Each query is run twice in one SparkSession and the warm
-(second) time is reported, matching BASELINE.md's method.  Prints exactly
-one JSON line:
+(second) time is reported, matching BASELINE.md's method.
+
+Comparability note vs BASELINE.md: the engine's formulations carry
+oracle-parity costs the baseline's plain formulations skip — q1's money
+aggregates run as DECIMAL(38,s) sums (deterministic cross-engine, ~2x a
+double sum), distinct_agg computes THREE exact distincts (baseline: one
+exact + one approx), window_rank evaluates four ranking functions
+(baseline: row_number only).  cosine_topk is the numpy mapInPandas kernel
+(the BASELINE number is the naive per-pair formulation, kept as
+``i6b_cosine_topk_hof``).  Prints exactly one JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """

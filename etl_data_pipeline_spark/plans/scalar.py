@@ -260,3 +260,61 @@ def h6b_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("parsed.k")).alias("k_total"),
         )
     )
+
+
+@query(
+    "h1b_string_funcs_more",
+    oracle="""
+    SELECT c_custkey,
+           REVERSE(c_mktsegment) AS seg_rev,
+           REPEAT(c_mktsegment, 2) AS seg_twice,
+           CAST(INSTR(c_name, '0') AS BIGINT) AS first_zero,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+           LEFT(c_name, 8) AS name_l8,
+           RIGHT(c_name, 3) AS name_r3,
+           CAST(ASCII(c_mktsegment) AS BIGINT) AS first_code
+    FROM customer
+    """,
+)
+def h1b_string_funcs_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 extension: reverse / repeat / instr / translate / left / right /
+    ascii — the remaining everyday string surface, all JVM codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        F.instr("c_name", "0").cast("long").alias("first_zero"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.substring("c_name", 1, 8).alias("name_l8"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_r3"),
+        F.ascii("c_mktsegment").cast("long").alias("first_code"),
+    )
+
+
+@query(
+    "h2b_datetime_funcs_more",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+           CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(ISODOW(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)::VARCHAR
+             AS plus3m
+    FROM orders
+    """,
+)
+def h2b_datetime_funcs_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 extension: quarter / ISO week / ISO day-of-week / last_day /
+    add_months. Spark's weekday() is Monday=0, DuckDB's ISODOW Monday=1 —
+    bridged with +1; both engines clamp month-end in add_months."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
+    )
