@@ -186,3 +186,46 @@ def a7_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
         F.count(F.col("_corrupt_record")).alias("n_bad"),
     )
+
+
+@query(
+    "a8_dynamic_partition_overwrite",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_returnflag != 'R' OR l_quantity > 25
+    GROUP BY l_returnflag
+    """,
+)
+def a8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: dynamic partition overwrite — the incremental daily-reload
+    primitive: rewriting one partition's data replaces ONLY that
+    partition's directory, leaving siblings untouched (static mode would
+    truncate the whole table).
+
+    Here the full table lands partitioned by l_returnflag, then the 'R'
+    partition alone is overwritten with a filtered slice; the read-back
+    aggregate proves A/N survived intact and R was replaced.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    path = _scratch(sf_dir, "lineitem_dyn_overwrite")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 25))
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum(F.col("l_extendedprice"), 2).alias("total"),
+    )

@@ -318,3 +318,26 @@ def h2b_datetime_funcs_more(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("o_orderdate").cast("string").alias("month_end"),
         F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
     )
+
+
+@query(
+    "h1c_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT_ALL(text, '[a-z]*ing') AS ing_words,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]*ing')) AS BIGINT) AS n_ing
+    FROM documents
+    """,
+)
+def h1c_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 extension: regexp_extract_all — multi-match extraction into an
+    array column (both engines return matches in left-to-right document
+    order, so the arrays compare exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[a-z]*ing")).alias("ing_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]*ing")))
+        .cast("long")
+        .alias("n_ing"),
+    )
