@@ -757,3 +757,87 @@ def g2b_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
         F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
     )
+
+
+# --------------------------------------------------------------------------
+# Safe casts, string aggregation, mode / boolean aggregates
+# --------------------------------------------------------------------------
+
+@query(
+    "b5b_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_back,
+           NULLIF(lang, 'en') AS lang_non_en
+    FROM documents
+    """,
+)
+def b5b_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 extension: TRY_CAST (unparseable -> NULL instead of error) and
+    NULLIF — the robust-ingest cast discipline; a failed cast must never
+    kill a 100 TB job."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_back"),
+        F.nullif(F.col("lang"), F.lit("en")).alias("lang_non_en"),
+    )
+
+
+@query(
+    "d7b_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def d7b_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 extension: string aggregation (listagg) — collect_set sorted
+    then joined, so element order is total and both engines agree."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "d9_mode_bool_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           (SELECT m.o_orderpriority FROM orders m
+            WHERE m.o_orderstatus = o.o_orderstatus
+            GROUP BY m.o_orderpriority
+            ORDER BY COUNT(*) DESC, m.o_orderpriority LIMIT 1) AS mode_priority,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_totalprice > 400000) AS any_over_400k
+    FROM orders o
+    GROUP BY o_orderstatus
+    """,
+)
+def d9_mode_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: deterministic MODE (most frequent value, ties -> smallest) via
+    count + rank — Spark's native mode() is tie-nondeterministic, so the
+    engine pins the tiebreak — plus bool_and / bool_or aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    bools = o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+    )
+    return mode.join(bools, "o_orderstatus").select(
+        "o_orderstatus", "mode_priority", "all_positive", "any_over_400k"
+    )
