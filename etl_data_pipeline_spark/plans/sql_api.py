@@ -232,3 +232,29 @@ def sql_nested_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l2.l_partkey = l.l_partkey
           )
     """)
+
+
+@query(
+    "c4b_shuffle_hash_hint",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def c4b_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 extension: SHUFFLE_HASH join hint — when the smaller side fits
+    an executor's memory but exceeds the broadcast threshold, a shuffled
+    hash join skips BOTH sort passes of SMJ (the mid-size-dimension
+    sweet spot at cluster scale). Result-invariant; the oracle is the
+    plain join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    from etl_data_pipeline_spark.functions.canonical import dec_sum
+
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_quantity"), 2).alias("total_qty"),
+    )

@@ -148,3 +148,14 @@ def test_partitioned_read_prunes(spark):
     assert "PartitionFilters" in plan
     pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "l_returnflag" in pf_line
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    # disable broadcast so the hint (not auto-broadcast) decides the plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "c4b_shuffle_hash_hint")
+        assert "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
