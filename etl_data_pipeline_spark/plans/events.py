@@ -227,3 +227,54 @@ def c8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_event_id"),
         F.col("r_ts").cast("string").alias("click_ts"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
+      FROM events
+    )
+    SELECT CAST(CAST(f.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+           CAST(DATEDIFF('day', CAST(f.cohort_week AS DATE),
+                         CAST(a.active_week AS DATE)) / 7 AS BIGINT) AS age_weeks,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in
+    each subsequent week they return — the standard product-analytics
+    rollup. Two shuffles (per-user min, then cohort x age agg); both key
+    spaces stay small at any event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    joined = active.join(firsts, "user_id")
+    return (
+        joined.select(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
