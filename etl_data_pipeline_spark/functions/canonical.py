@@ -33,6 +33,33 @@ def dec_sum(col: Column, scale: int) -> Column:
     return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
 
 
+def grid_sum(col: Column, micro: int = 1_000_000) -> Column:
+    """Order-independent SUM of a CONTINUOUS double (no decimal grid to
+    exploit, so ``dec_sum``'s exact-cast trick doesn't apply — and
+    CAST-to-decimal of an arbitrary double rounds, which the engines
+    tie-break differently).
+
+    Instead: floor each value onto a 1/micro grid — one IEEE multiply
+    plus floor, bit-identical in every engine — then sum exactly as
+    BIGINT (associative, order-insensitive) and divide once. The result
+    is a deterministic fixed-point total, not a rounded float sum.
+
+    Oracle-SQL counterpart (textual convention used by every plan):
+    ``SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) / 1000000.0``.
+    """
+    return F.sum(F.floor(col * F.lit(micro))) / F.lit(float(micro))
+
+
+def grid_avg(col: Column, micro: int = 1_000_000) -> Column:
+    """Order-independent AVG of a continuous double: grid_sum divided by
+    the group count (only use on non-null columns — COUNT(*) scope).
+
+    Oracle counterpart:
+    ``SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) / 1000000.0 / COUNT(*)``.
+    """
+    return grid_sum(col, micro) / F.count(F.lit(1))
+
+
 def dec_avg(col: Column, scale: int) -> Column:
     """Deterministic AVG of a decimal-grid double: exact decimal sum,
     single double division by the group count.

@@ -5,9 +5,11 @@ These are batch queries shaped like Structured Streaming operations (the
 real readStream variants live in etl_data_pipeline_spark/streaming/);
 the DuckDB oracle is batch SQL, so parity is checked on the batch forms.
 
-``value`` is a generic double (not decimal-grid money), so its sums are
-rounded to 6dp — cross-engine summation-order noise is ~1e-12 relative
-while 6dp tie points are effectively measure-zero for generic doubles.
+``value`` is a generic double (not decimal-grid money), so its totals
+go through ``grid_sum`` (functions/canonical.py): each value floored
+onto a 1e-6 grid, summed exactly as BIGINT, divided once — fully
+order-independent and bit-identical across engines, unlike
+ROUND-over-double-SUM which depends on accumulation order.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.functions.canonical import grid_sum
 from etl_data_pipeline_spark.operators.sessionize import asof_join, sessionize
 from etl_data_pipeline_spark.plans.registry import query
 
@@ -28,7 +31,7 @@ from etl_data_pipeline_spark.plans.registry import query
            event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           ROUND(SUM(value), 6) AS total_value
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -46,7 +49,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            grid_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("string").alias("window_start"),
@@ -71,7 +74,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(window_start AS VARCHAR) AS window_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS total_value
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
     FROM slid
     WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
     GROUP BY 1
@@ -87,7 +90,7 @@ def j2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            grid_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("string").alias("window_start"),
@@ -154,7 +157,7 @@ def j3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT)
              - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_s,
-           ROUND(SUM(value), 6) AS session_value,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) / 1000000.0 AS session_value,
            COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
            COALESCE(MIN(ts) FILTER (WHERE event_type = 'click')
@@ -173,7 +176,7 @@ def j4_sessionization_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_s"),
-        F.round(F.sum("value"), 6).alias("session_value"),
+        grid_sum(F.col("value")).alias("session_value"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
         F.coalesce(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.functions.canonical import grid_avg
 from etl_data_pipeline_spark.operators.text import md5_hash32
 from etl_data_pipeline_spark.plans.registry import query
 
@@ -84,7 +85,8 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT lang, source, COUNT(*) AS n_docs,
-           ROUND(AVG(quality), 6) AS avg_quality,
+           SUM(CAST(FLOOR(quality * 1000000) AS BIGINT)) / 1000000.0 / COUNT(*)
+             AS avg_quality,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM scored
     WHERE quality >= 0.7 AND n_tokens >= 20
@@ -126,7 +128,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            grid_avg(F.col("quality")).alias("avg_quality"),
             F.sum("n_tokens_i").cast("long").alias("total_tokens"),
         )
     )

@@ -43,14 +43,15 @@ def j6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
     FROM events GROUP BY user_id
     """,
 )
 def j7_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: applyInPandasWithState running totals per user; the final
-    state snapshot equals the batch aggregate, so the batch SQL is an
-    exact oracle (sums rounded identically at 4dp on both sides)."""
+    """J7: applyInPandasWithState running totals per user; state holds
+    integer 1e-6 micro-units (grid_sum discipline), so the final state
+    snapshot equals the batch grid-sum aggregate EXACTLY — independent
+    of micro-batch boundaries and accumulation order."""
     return stateful_running_totals(spark, sf_dir, _tag(sf_dir))
 
 

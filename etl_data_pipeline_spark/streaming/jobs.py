@@ -133,6 +133,7 @@ def stateful_running_totals(
     sink accumulates one emission per (key, batch); the final snapshot is
     the max-count row per key — asserted equal to the batch groupBy.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.window import Window
@@ -140,21 +141,25 @@ def stateful_running_totals(
     staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j7"))
     stream = _read_staged_stream(spark, staged).select("user_id", "value")
 
+    # State carries the running total as INTEGER 1e-6 micro-units (each
+    # value floored onto the grid before accumulating): exact, order- and
+    # batching-independent, and identical to the batch-SQL grid_sum
+    # oracle — a double accumulator would drift with micro-batch order.
     def update_totals(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            s += int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "total_value": [round(s, 4)]}
+            {"user_id": [user_id], "n_events": [n], "total_value": [s / 1e6]}
         )
 
     updates = stream.groupBy("user_id").applyInPandasWithState(
         update_totals,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, s double",
+        stateStructType="n long, s long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
