@@ -20,19 +20,30 @@ ORACLES: dict[str, str] = {}
 
 #: Modules that define queries; imported lazily by load_all_plans so that
 #: importing the package stays cheap.
+#:
+#: ORDER MATTERS for external evidence: the driver's correctness run
+#: checks the first ~50 queries in registration order, so families whose
+#: queries have never had a driver-side correctness row register first,
+#: and the round-1-proven families (relational, etl) rotate to the back.
+#: Round-1 window covered: all of relational + the first 13 etl queries.
+#: Round-2 front-load (this order): vectors(10) text(11) events(6)
+#: scalar(10) udfs(4) io(6) = 47, then streaming j5/j6/j7 complete the
+#: window at 50. Still never driver-checked after round 2 — rotate these
+#: to the front next round: streaming j8, multimodal(3), pipelines(2),
+#: sql_api(7), relational c2_right_join, the etl tail (8).
 _PLAN_MODULES = [
+    "etl_data_pipeline_spark.plans.vectors",
+    "etl_data_pipeline_spark.plans.text",
+    "etl_data_pipeline_spark.plans.events",
+    "etl_data_pipeline_spark.plans.scalar",
+    "etl_data_pipeline_spark.plans.udfs",
+    "etl_data_pipeline_spark.plans.io",
+    "etl_data_pipeline_spark.plans.streaming",
+    "etl_data_pipeline_spark.plans.multimodal",
+    "etl_data_pipeline_spark.plans.pipelines",
+    "etl_data_pipeline_spark.plans.sql_api",
     "etl_data_pipeline_spark.plans.relational",
     "etl_data_pipeline_spark.plans.etl",
-    "etl_data_pipeline_spark.plans.sql_api",
-    "etl_data_pipeline_spark.plans.pipelines",
-    "etl_data_pipeline_spark.plans.scalar",
-    "etl_data_pipeline_spark.plans.events",
-    "etl_data_pipeline_spark.plans.text",
-    "etl_data_pipeline_spark.plans.vectors",
-    "etl_data_pipeline_spark.plans.io",
-    "etl_data_pipeline_spark.plans.multimodal",
-    "etl_data_pipeline_spark.plans.udfs",
-    "etl_data_pipeline_spark.plans.streaming",
 ]
 
 _loaded = False

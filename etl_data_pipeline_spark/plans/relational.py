@@ -498,6 +498,35 @@ def c2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c2_right_join",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_big_orders,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 0.0) AS big_total
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def c2_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: right outer join — filtered orders on the LEFT, every customer
+    row preserved from the RIGHT (how='right'; mirror of c2_left_join,
+    same result set, opposite join orientation)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(dec_sum(F.col("o_totalprice"), 2), F.lit(0.0)).alias(
+                "big_total"
+            ),
+        )
+    )
+
+
+@query(
     "c2_full_outer_join",
     oracle="""
     WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 9000),
