@@ -4,8 +4,10 @@
 Usage: ``python bench.py``.  Data dir comes from ``$SPARK_GRAFT_SF_DIR``
 (default ``/root/testdata/sf0.1``); parallelism from ``$SPARK_GRAFT_CPUS``
 (default 32).  Each query runs three times in one SparkSession and the best WARM time
-(min of runs 2-3) is reported — same warm-measurement intent as
-BASELINE.md, with less scheduler noise.
+(min of runs 2-3) is reported — the IDENTICAL method and core count used
+for BASELINE.md's PySpark local[32] column (tools/measure_baseline.py),
+so engine-vs-baseline ratios are like-for-like; the method is also
+stamped into the emitted JSON.
 
 Comparability note vs BASELINE.md: the engine's formulations carry
 oracle-parity costs the baseline's plain formulations skip — q1's money
@@ -81,6 +83,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                # methodology stamped into the record so the number is
+                # only ever compared like-for-like (BASELINE.md's
+                # local[32] column uses the identical method, via
+                # tools/measure_baseline.py)
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "method": "3 runs per query in one session; min of runs 2-3",
             }
         )
     )

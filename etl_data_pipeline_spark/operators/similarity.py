@@ -68,29 +68,30 @@ def cosine_pairs_hof(embeddings: DataFrame, min_cos: float) -> DataFrame:
 def _block_tagged(embeddings: DataFrame, n_blocks: int) -> DataFrame:
     """Fan each vector out to its (block_a, block_b) group-sides.
 
-    Block = ``vec_id % n_blocks``. The (ba, bb) frame (ba <= bb) is tiny
-    and broadcast, so the fan-out is a map-side join: a row in block i
-    lands in every group whose left block (side 0) or right block
-    (side 1) is i. Each applyInPandas group then holds exactly two
-    blocks — per-task memory is 2n/n_blocks rows however big n gets.
+    Block = ``vec_id % n_blocks``. A row in block i belongs to group
+    (i, j) as the LEFT side (side 0) for every j >= i, and to group
+    (j, i) as the RIGHT side (side 1) for every j <= i; one generated
+    array + explode emits all n_blocks + 1 assignments in a single scan
+    (no join, no union — the only shuffle is the downstream groupBy).
+    Each applyInPandas group then holds exactly two blocks — per-task
+    memory is 2n/n_blocks rows however big n gets.
     """
-    spark = embeddings.sparkSession
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "ba int, bb int",
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    as_left = F.transform(
+        F.sequence(blk, F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            blk.alias("ba"), j.cast("int").alias("bb"), F.lit(0).alias("side")
+        ),
     )
-    tagged = embeddings.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    as_right = F.transform(
+        F.sequence(F.lit(0), blk),
+        lambda j: F.struct(
+            j.cast("int").alias("ba"), blk.alias("bb"), F.lit(1).alias("side")
+        ),
     )
-    left = tagged.join(F.broadcast(bp), F.col("blk") == F.col("ba")).withColumn(
-        "side", F.lit(0)
-    )
-    right = tagged.join(F.broadcast(bp), F.col("blk") == F.col("bb")).withColumn(
-        "side", F.lit(1)
-    )
-    return left.unionByName(right).select("ba", "bb", "side", "vec_id", "embedding")
+    return embeddings.select(
+        F.explode(F.concat(as_left, as_right)).alias("g"), "vec_id", "embedding"
+    ).select("g.ba", "g.bb", "g.side", "vec_id", "embedding")
 
 
 def _group_matrices(

@@ -44,7 +44,12 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_resize")  # rows-only: binary payload output has no SQL oracle
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage: binary->binary mapInPandas with declared
-    schema (deterministic stand-in body; see operators/multimodal.py)."""
+    schema (deterministic stand-in body; see operators/multimodal.py).
+
+    Rows-only driver check (binary output has no SQL oracle); authority:
+    tests/test_operators.py::test_mm_resize_matches_python (payloads
+    equal Python truncate/zero-pad byte-for-byte).
+    """
     d = load_table(spark, sf_dir, "documents")
     return resize_payloads(attach_binary_payload(d), width=8, height=8)
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_data_pipeline_spark.catalog import load_table
-from etl_data_pipeline_spark.functions.canonical import dec_avg, dec_sum
+from etl_data_pipeline_spark.functions.canonical import dec_sum
 from etl_data_pipeline_spark.plans.registry import query
 
 
@@ -251,9 +251,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(disc_price, 4).alias("sum_disc_price"),
             dec_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            dec_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
-            dec_avg(F.col("l_discount"), 2).alias("avg_disc"),
+            # each 128-bit decimal sum is computed ONCE; averages are
+            # derived by division in the projection below (dec_avg's
+            # exact expression, without re-summing the column)
+            dec_sum(F.col("l_discount"), 2).alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sum_disc") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -328,8 +342,9 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: approx_count_distinct (HLL++) — scale path for distinct counts.
 
-    Rows-only driver check; the in-repo test asserts the estimate is
-    within 5% of the exact count.
+    Rows-only driver check; exact-semantics authority:
+    tests/test_operators.py::test_d4_approx_within_tolerance (estimate
+    within 5% of the exact count per group).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -439,7 +454,12 @@ def d8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d8b_percentile_approx")  # no oracle: sketch-based, engine-specific
 def d8b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D8 scale path: approx percentile (KLL-style sketch, mergeable)."""
+    """D8 scale path: approx percentile (KLL-style sketch, mergeable).
+
+    Rows-only driver check; exact-semantics authority:
+    tests/test_operators.py::test_d8b_approx_percentile_near_exact
+    (approx p50 within 2% of d8_percentiles' exact p50 per group).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),

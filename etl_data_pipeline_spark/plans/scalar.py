@@ -190,7 +190,9 @@ def h4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def h5_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5: map functions — build a map per event type, extract keys/values.
 
-    The in-repo test asserts extracted scalars match a plain aggregation.
+    Rows-only driver check (map layout is engine-specific); authority:
+    tests/test_operators.py::test_h5_map_extract_matches_plain_agg
+    (every scalar extracted from the map equals a plain aggregation).
     """
     ev = load_table(spark, sf_dir, "events")
     # dedupe to one entry per (user, type) BEFORE building the map —

@@ -1,6 +1,6 @@
 """Streaming demo queries (J5/J6) — rows-only driver checks (no DuckDB
 analogue for watermark semantics); exact expectations are asserted by
-tests/test_streaming.py against batch computations."""
+tests/test_operators.py against batch computations."""
 
 from __future__ import annotations
 
@@ -30,13 +30,23 @@ def _tag(sf_dir: str) -> str:
 @query("j5_stream_watermark")  # rows-only: watermark drop is not batch SQL
 def j5_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: real readStream (availableNow, 2 micro-batches) with watermark
-    + windowed agg in append mode; late batch dropped."""
+    + windowed agg in append mode; late batch dropped.
+
+    Rows-only driver check; authority: tests/test_operators.py::
+    test_j5_watermark_gates_append_emission (emitted windows are exactly
+    those the final watermark finalized; later windows held in state).
+    """
     return windowed_counts_with_watermark(spark, sf_dir, _tag(sf_dir))
 
 
 @query("j6_stream_dedup")  # rows-only: stateful streaming dedup
 def j6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: dropDuplicatesWithinWatermark over overlapping micro-batches."""
+    """J6: dropDuplicatesWithinWatermark over overlapping micro-batches.
+
+    Rows-only driver check; authority: tests/test_operators.py::
+    test_j6_stream_dedup_matches_batch_distinct (stream survivors equal
+    the batch per-type counts despite 20% overlapping input files).
+    """
     return stream_dedup_within_watermark(spark, sf_dir, _tag(sf_dir))
 
 @query(

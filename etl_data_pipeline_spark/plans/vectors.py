@@ -376,6 +376,7 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd k-means over embeddings, 3 iterations (see
     operators/similarity.py::kmeans_iterations). Rows-only driver check;
-    tests assert monotone non-increasing inertia."""
+    authority: tests/test_operators.py::test_kmeans_inertia_monotone
+    (inertia non-increasing across iterations, no empty clusters)."""
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_iterations(e, k=8, iters=3)

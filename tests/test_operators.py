@@ -133,6 +133,61 @@ def test_ivf_recall_vs_exact(spark):
     print(f"ivf_ann recall@3 = {recall:.3f}")
 
 
+def test_h5_map_extract_matches_plain_agg(spark):
+    """h5_map_funcs is rows-only (map layout is engine-specific); this is
+    its exact-semantics authority: every scalar extracted FROM the map
+    must equal the same scalar computed by a plain aggregation."""
+    out = QUERIES["h5_map_funcs"](spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    plain = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count_distinct("event_type").alias("n_types"),
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("value").cast("double"))
+            ).alias("click_val"),
+        )
+        .toPandas()
+    )
+    a = out.sort_values("user_id").reset_index(drop=True)
+    b = plain.sort_values("user_id").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["user_id"] == b["user_id"]).all()
+    assert (a["n_types"] == b["n_types"]).all()
+    ca, cb = a["click_val"], b["click_val"]
+    assert (ca.isna() == cb.isna()).all()
+    assert (ca.dropna() == cb[ca.notna()]).all()
+    # keys list is the sorted distinct event types per user
+    assert (a["type_keys"].map(len) == b["n_types"]).all()
+
+
+def test_d8b_approx_percentile_near_exact(spark):
+    """d8b_percentile_approx is rows-only (sketches differ per engine);
+    authority: the approx p50 must sit within 2% of d8's exact p50 for
+    every group (accuracy=10000 makes the sketch near-exact here)."""
+    approx = QUERIES["d8b_percentile_approx"](spark, SF_DIR).toPandas()
+    exact = QUERIES["d8_percentiles"](spark, SF_DIR).toPandas()
+    ex = dict(zip(exact["l_returnflag"], exact["p50"]))
+    assert len(approx) == len(ex) and len(approx) > 0
+    for _, row in approx.iterrows():
+        rel = abs(row["p50_approx"] - ex[row["l_returnflag"]]) / ex[row["l_returnflag"]]
+        assert rel < 0.02, f"approx p50 off by {rel:.2%}"
+
+
+def test_mm_resize_matches_python(spark):
+    """mm_resize is rows-only (binary output has no SQL oracle);
+    authority: each resized payload equals the Python truncate/zero-pad
+    of the document's utf-8 bytes at 8x8."""
+    out = QUERIES["mm_resize"](spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+    by_id = dict(zip(out["doc_id"], out["resized"]))
+    assert len(out) == len(docs)
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    for _, row in docs.iterrows():
+        b = row["text"].encode("utf-8")[:64]
+        assert bytes(by_id[row["doc_id"]]) == b + b"\x00" * (64 - len(b))
+
+
 def test_kmeans_inertia_monotone(spark):
     pdf = QUERIES["kmeans_lloyd"](spark, SF_DIR).toPandas().sort_values("iteration")
     inertias = pdf["inertia"].tolist()
