@@ -495,3 +495,65 @@ def kmeans_iterations(embeddings: DataFrame, k: int = 8, iters: int = 3) -> Data
     return spark.createDataFrame(
         results, "iteration long, inertia double, n_nonempty long"
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization, JVM-side: q[i] = floor(x[i] * 127 /
+    max_abs + 0.5), stored as integer-valued doubles so the blocked
+    kernel consumes them unchanged.
+
+    The expression order (widen to double, * 127.0, / max_abs, + 0.5,
+    floor) is pinned — the oracle repeats it verbatim, and because every
+    later dot product / squared norm over these values is integer-valued
+    (< 2^53), quantized cosine is EXACTLY reproducible across engines
+    regardless of summation order. That exactness — not just the 4x
+    memory-bandwidth cut — is why the compressed domain is the candidate
+    path at 100 TB.
+    """
+    m = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.when(m == 0, F.lit(1.0)).otherwise(m)
+    qe = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast(
+            "double"
+        ),
+    )
+    return embeddings.select("vec_id", qe.alias("embedding"))
+
+
+def quantized_rerank(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 3,
+    n_cand: int = 20,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """I6 compressed-domain ANN: int8-quantized candidate generation,
+    exact float re-rank — the two-stage retrieval shape every production
+    vector store uses (quantized scan -> exact top-k over candidates).
+
+    Stage 1 runs the blocked ``knn`` kernel on the quantized vectors
+    (top ``n_cand`` per query by quantized cosine); stage 2 joins the
+    survivors back to the float embeddings and takes exact-cosine top-k.
+    At scale only stage 1 touches every pair (at 1/4 the bytes), and the
+    re-rank is a per-query k*n_cand-row join, never all-pairs.
+    """
+    cand = knn(spark, quantize_embeddings(embeddings), k=n_cand, n_blocks=n_blocks)
+    from pyspark.sql.window import Window
+
+    eq = embeddings.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
+    en = embeddings.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn"))
+    rer = (
+        cand.select("vec_id", "neighbor")
+        .join(eq, F.col("vec_id") == F.col("q_id"))
+        .join(en, F.col("neighbor") == F.col("n_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "neighbor", "cosine")
+    )

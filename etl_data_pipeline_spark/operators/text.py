@@ -270,3 +270,68 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         F.lead("token", n - 1).over(w).alias("_tail")
     ])
     return sh.filter(F.col("_tail").isNotNull()).drop("_tail")
+
+
+def neardup_components(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Dedup family: near-duplicate CLUSTERS, not just pairs.
+
+    ``minhash_lsh_pairs`` emits verified near-dup edges; this closes them
+    into connected components by iterative min-label propagation: every
+    doc starts labeled with its own id, and each round every doc takes
+    the min label over itself and its neighbors.  Convergence is reached
+    after ``diameter(component)`` rounds — near-dup clusters are tiny and
+    tight, so this is 2-3 rounds in practice; the loop exits as soon as
+    a round changes nothing (checked via a scalar count, the same
+    driver-loop discipline as ``kmeans_iterations``).
+
+    Scale posture (100 TB): per round, one equi-join edges->labels plus
+    one groupBy(min) — both shuffle on doc_id and the (small) edge set is
+    re-partitioned once up front.  ``localCheckpoint`` truncates the
+    per-round lineage so the plan stays O(1) deep.  For adversarially
+    long chains, swap the propagation step for the alternating
+    large-star/small-star rounds of Kiveris et al., "Connected Components
+    in MapReduce and Beyond" (SOCC'14) — same join/groupBy primitives.
+
+    Returns one row per document: (doc_id, component, is_canonical) where
+    ``component`` is the min doc_id of the near-dup cluster (singletons
+    are their own component) and the canonical doc is the cluster min —
+    filtering ``is_canonical`` IS the dedup.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold, num_hashes, band_size).select(
+        "a", "b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.select(
+                F.col("doc_id").alias("b"), F.col("component")
+            ),
+            "b",
+        ).select(F.col("a").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("doc_id", F.col("component").alias("c_new"))
+            .join(labels, "doc_id")
+            .filter(F.col("c_new") != F.col("component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_canonical", F.col("component") == F.col("doc_id")
+    )

@@ -1,0 +1,263 @@
+"""Corpus-curation queries — the training-data pipeline completions on
+top of the I-family primitives: near-dup CLUSTERING (pairs -> connected
+components -> canonical doc), deterministic mixture sampling, sequence
+packing, PII redaction, and compressed-domain (int8) ANN with exact
+re-rank.
+
+Oracle parity notes: component ids come from a DuckDB recursive CTE over
+the SAME verified LSH pair set as i4b (shared CTE body,
+plans/text.py::MINHASH_LSH_BODY); sampling uses a pure-integer Knuth
+multiplicative hash (exact in both engines); quantized cosine is a ratio
+of integers so it is EXACTLY cross-engine reproducible (see
+operators/similarity.py::quantize_embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.operators.similarity import quantized_rerank
+from etl_data_pipeline_spark.operators.text import neardup_components
+from etl_data_pipeline_spark.plans.registry import query
+from etl_data_pipeline_spark.plans.text import MINHASH_LSH_BODY
+
+
+@query(
+    "neardup_clusters",
+    oracle="WITH RECURSIVE "
+    + MINHASH_LSH_BODY
+    + """,
+    edges AS (
+      SELECT a, b FROM lsh_pairs
+      UNION ALL
+      SELECT b AS a, a AS b FROM lsh_pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id,
+           MIN(dst) AS component,
+           MIN(dst) = src AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion: LSH near-dup pairs closed into connected
+    components by iterative min-label propagation (driver loop over
+    join+groupBy rounds, early-exit on convergence — see
+    operators/text.py::neardup_components).  ``is_canonical`` marks the
+    cluster-min doc: filtering it IS the near-dup dedup.  The oracle
+    computes the same components via a recursive CTE over the identical
+    verified pair set (shared CTE body with i4b_minhash_lsh)."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup_components(d, threshold=0.5, num_hashes=16, band_size=4)
+
+
+@query(
+    "mixture_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
+          CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                    WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.25
+                    WHEN 'zh' THEN 0.1 ELSE 0.05 END
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: per-language acceptance rates applied
+    via a deterministic Knuth multiplicative hash of doc_id — pure
+    integer arithmetic, so the sample is reproducible across engines,
+    runs, AND repartitions (rand(seed) is per-partition in Spark and
+    would not be).  At 100 TB this is a stateless map over the scan —
+    no shuffle, trivially resumable; re-weighting the mixture is a
+    literal change, not a new shuffle.  Production id spaces beyond
+    ~2^31 ids should swap the LCG for xxhash64(doc_id) & mask (same
+    shape; kept SQL-reproducible here)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    w = (
+        F.when(F.col("lang") == "en", 0.9)
+        .when(F.col("lang") == "de", 0.5)
+        .when(F.col("lang") == "fr", 0.5)
+        .when(F.col("lang") == "es", 0.25)
+        .when(F.col("lang") == "zh", 0.1)
+        .otherwise(0.05)
+    )
+    return d.filter(u < w).select("doc_id", "lang", "source")
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok) / 256.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing planner: concatenate each language's docs in
+    doc_id order and cut 256-token packs by START OFFSET (pack_id =
+    floor(preceding_tokens / budget)) — one running-sum window, fully
+    JVM-side, exact SQL parity.  Docs may straddle a boundary, exactly
+    like LLM pretraining packing with document spillover.
+
+    Scale: a single ORDER BY doc_id window per language would bottleneck
+    on the biggest language at 100 TB — shard the partition key to
+    (lang, doc_id bucket) and offset each shard by the exclusive prefix
+    total of the preceding shards (one tiny agg + broadcast), which
+    preserves these exact pack ids.  The greedy close-when-full variant
+    (no straddling) is the same window plus applyInPandas per shard."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(256.0)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "redact_pii",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(raw_text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS masked,
+           REGEXP_REPLACE(REGEXP_REPLACE(raw_text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g')
+             != raw_text AS redacted
+    FROM raw
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: global regexp_replace of email + phone patterns.
+    Deterministic PII is injected into every 7th doc inside the query
+    (both engines build the identical raw text), so the masking does
+    real work and the oracle checks actual replacements, not no-ops.
+    Stateless map over the scan — no shuffle at any scale; patterns kept
+    to the regex subset Java and RE2 interpret identically."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        masked.alias("masked"),
+        (masked != raw).alias("redacted"),
+    )
+
+
+@query(
+    "i6c_quantized_rerank",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> FLOOR(x * 127.0
+                          / (CASE WHEN m = 0 THEN 1.0 ELSE m END)
+                          + 0.5)) AS qe
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> ABS(x)), 'max') AS m
+            FROM embeddings) s
+    ), qp AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             ROUND(list_inner_product(a.qe, b.qe)
+               / SQRT(list_inner_product(a.qe, a.qe)
+                    * list_inner_product(b.qe, b.qe)), 6) AS qcos
+      FROM qv a JOIN qv b ON a.vec_id != b.vec_id
+    ), cand AS (
+      SELECT q, n FROM (
+        SELECT q, n,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY qcos DESC, n) AS rn
+        FROM qp)
+      WHERE rn <= 20
+    ), rr AS (
+      SELECT c.q AS vec_id, c.n AS neighbor,
+             ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+               / SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[]))
+                    * list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))), 6)
+               AS cosine
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.q
+      JOIN embeddings b ON b.vec_id = c.n
+    )
+    SELECT vec_id, neighbor, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, neighbor) AS rn FROM rr)
+    WHERE rn <= 3
+    """,
+)
+def i6c_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 compressed-domain path: int8-quantized blocked-kernel candidate
+    generation (top-20 per query by quantized cosine — exactly
+    cross-engine reproducible integer math), then exact float cosine
+    re-rank to top-3.  The production two-stage retrieval shape; see
+    operators/similarity.py::quantized_rerank for the scale story."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantized_rerank(spark, e, k=3, n_cand=20)

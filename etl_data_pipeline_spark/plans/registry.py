@@ -30,7 +30,8 @@ ORACLES: dict[str, str] = {}
 #: scalar(10) udfs(4) io(6) = 47, then streaming j5/j6/j7 complete the
 #: window at 50. Still never driver-checked after round 2 — rotate these
 #: to the front next round: streaming j8, multimodal(3), pipelines(2),
-#: sql_api(7), relational c2_right_join, the etl tail (8).
+#: sql_api(7), relational c2_right_join, the etl tail (8), and the
+#: round-2 curation module (5).
 _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.vectors",
     "etl_data_pipeline_spark.plans.text",
@@ -44,6 +45,7 @@ _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.sql_api",
     "etl_data_pipeline_spark.plans.relational",
     "etl_data_pipeline_spark.plans.etl",
+    "etl_data_pipeline_spark.plans.curation",
 ]
 
 _loaded = False

@@ -138,10 +138,13 @@ def i4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, threshold=0.8, block_col="lang")
 
 
-@query(
-    "i4b_minhash_lsh",
-    oracle=f"""
-    WITH t AS (
+#: DuckDB CTE body reproducing ``minhash_lsh_pairs`` (threshold 0.5,
+#: 16 hashes, 4-row bands); ends in a ``lsh_pairs(a, b, jaccard)`` CTE so
+#: downstream oracles (i4b here; neardup components in plans/curation.py)
+#: can build on the verified pair set.  NOTE: no ``WITH`` prefix — callers
+#: prepend ``WITH `` or ``WITH RECURSIVE `` as needed.
+MINHASH_LSH_BODY = f"""
+    t AS (
       SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
       FROM documents
     ), th AS (
@@ -170,13 +173,23 @@ def i4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN t ta ON ta.doc_id = c.a
       JOIN t tb ON tb.doc_id = c.b AND tb.token = ta.token
       GROUP BY c.a, c.b
+    ), lsh_pairs AS (
+      SELECT i.a, i.b,
+             i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.a
+      JOIN counts cb ON cb.doc_id = i.b
+      WHERE i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) >= 0.5
     )
-    SELECT i.a, i.b,
-           i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) AS jaccard
-    FROM inter i
-    JOIN counts ca ON ca.doc_id = i.a
-    JOIN counts cb ON cb.doc_id = i.b
-    WHERE i.inter / CAST(ca.n_tok + cb.n_tok - i.inter AS DOUBLE) >= 0.5
+"""
+
+
+@query(
+    "i4b_minhash_lsh",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """
+    SELECT a, b, jaccard FROM lsh_pairs
     """,
 )
 def i4b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

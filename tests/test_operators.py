@@ -195,3 +195,56 @@ def test_kmeans_inertia_monotone(spark):
     # Lloyd's algorithm never increases inertia
     assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
     assert (pdf["n_nonempty"] >= 1).all()
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """neardup_clusters' min-label propagation must equal a plain Python
+    union-find over the same verified LSH pair set — an authority
+    independent of both the DuckDB recursive-CTE oracle and Spark."""
+    from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs, 0.5, 16, 4).select("a", "b").collect()
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the component min (union always keeps the min root)
+    expected = {i: find(i) for i in ids}
+    out = QUERIES["neardup_clusters"](spark, SF_DIR).toPandas()
+    assert len(out) == len(ids)
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == expected
+    assert (out["is_canonical"] == (out["doc_id"] == out["component"])).all()
+    # the pair set is non-trivial at every test sf
+    assert len(pairs) > 0 and any(v != k for k, v in expected.items())
+
+
+def test_quantized_rerank_recall_vs_exact(spark):
+    """i6c's int8-candidate + exact-rerank top-3 must recover most of the
+    exact float kNN top-3 (quantization to 8 bits barely perturbs the
+    ranking; candidate depth 20 >> k 3 absorbs the rest)."""
+    exact = (
+        QUERIES["i7_knn"](spark, SF_DIR)
+        .select("vec_id", "neighbor")
+        .toPandas()
+    )
+    quant = (
+        QUERIES["i6c_quantized_rerank"](spark, SF_DIR)
+        .select("vec_id", "neighbor")
+        .toPandas()
+    )
+    e = set(map(tuple, exact.itertuples(index=False)))
+    q = set(map(tuple, quant.itertuples(index=False)))
+    recall = len(e & q) / len(e)
+    print(f"quantized rerank recall@3 = {recall:.3f}")
+    assert recall >= 0.8
