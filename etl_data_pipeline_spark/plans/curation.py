@@ -261,3 +261,39 @@ def i6c_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py::quantized_rerank for the scale story."""
     e = load_table(spark, sf_dir, "embeddings")
     return quantized_rerank(spark, e, k=3, n_cand=20)
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+               doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 25
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: rank docs within each language by
+    the cross-engine md5 hash of doc_id (a deterministic 'random' order)
+    and keep the first 25 — reservoir-sampling semantics without RNG
+    state, reproducible across engines and repartitions.
+
+    Scale: ROW_NUMBER sorts each stratum in one task; at 100 TB
+    pre-filter with an approximate hash threshold (keep hash < k/N *
+    2^32 * slack — a stateless map that discards ~all of the stratum)
+    and rank only the survivors, which bounds the per-stratum sort to
+    ~k * slack rows."""
+    from etl_data_pipeline_spark.operators.text import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 25)
+    )

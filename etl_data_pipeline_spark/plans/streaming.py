@@ -78,3 +78,29 @@ def j8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories); the two staged micro-batches land losslessly, so the
     sink's contents equal the source table."""
     return foreach_batch_sink(spark, sf_dir, _tag(sf_dir))
+
+
+@query(
+    "j9_stream_stream_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    )
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    GROUP BY a.user_id
+    """,
+)
+def j9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: stream-stream inner join (clicks x same-user views within the
+    preceding hour), both sides real readStream sources over 2
+    micro-batches; 30-day watermarks pin the emitted union to exactly
+    the batch join (see streaming/jobs.py::stream_stream_join), so the
+    oracle is exact batch SQL — the CAST(ts AS TIMESTAMP) mirrors
+    Spark's ns->us truncation on ingest."""
+    from etl_data_pipeline_spark.streaming.jobs import stream_stream_join
+
+    return stream_stream_join(spark, sf_dir, _tag(sf_dir))

@@ -204,3 +204,45 @@ def foreach_batch_sink(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("batch_id").alias("n_batches"),
     )
+
+
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J9: stream-stream inner join — click events joined to the same
+    user's view events from the preceding hour, both sides true
+    readStream file sources processed over multiple micro-batches.
+
+    Both sides carry a 30-day watermark (far past the staged data, same
+    pinning as J6): nothing is ever evicted or late-dropped, so the
+    union of per-batch emissions is EXACTLY the batch join and the DuckDB
+    oracle is exact. Production tightens the watermark to bound the join
+    state; the interval condition below is precisely what lets Spark
+    clean state once the watermark passes (view rows older than
+    click_wm - 1h can never match again).
+
+    Scale: the join shuffles both streams by user_id; state is sharded
+    with that key, and each side's state holds only rows inside the
+    watermark horizon. Returns (user_id, n_pairs).
+    """
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j9"))
+    stream = _read_staged_stream(spark, staged)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 days")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 days")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("user_id", "click_ts", "view_ts")
+    emitted = _run_to_memory(joined, _unique("j9_join"), "append")
+    return emitted.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -159,3 +159,28 @@ def test_shuffle_hash_hint_is_honored(spark):
         assert "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_quantized_rerank_no_bnlj(spark):
+    # both stages of i6c — quantized blocked kernel and the candidate
+    # re-rank joins — must stay equi-join/shuffle shaped, never BNLJ
+    plan = plan_of(spark, "i6c_quantized_rerank")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_prunes_columns(spark):
+    # the sampling predicate is a stateless map over the scan: no
+    # shuffle at all, and only the 3 output columns are read
+    plan = plan_of(spark, "mixture_sample")
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_pack_sequences_single_shuffle_chain(spark):
+    # one hash exchange for the lang window + its reuse by the groupBy
+    # (same key) — no second independent shuffle of the doc table
+    plan = plan_of(spark, "pack_sequences")
+    assert plan.count("CartesianProduct") == 0
+    assert "Window" in plan
