@@ -47,6 +47,7 @@ HEADLINE = [
     "events_tumbling",
     "wordcount",
     "cosine_topk",
+    "i6c_quantized_rerank",
 ]
 
 

@@ -198,29 +198,36 @@ def knn(
         l_ids, r_ids, A, B = mats
         C = _cosine_matrix(A, B)
         same = key[0] == key[1]
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_c: list[float] = []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
 
         def emit(q_ids: np.ndarray, c_ids: np.ndarray, M: np.ndarray) -> None:
-            # per query row: top-k candidates under (-cosine, id); the
-            # full lexsort is fine at block size — at larger blocks use
-            # argpartition with tie-window widening instead
-            for i in range(len(q_ids)):
-                mask = c_ids != q_ids[i]
-                cand = np.nonzero(mask)[0]
-                if len(cand) == 0:
-                    continue
-                order = np.lexsort((c_ids[cand], -M[i, cand]))
-                take = cand[order[:k]]
-                out_a.extend([q_ids[i]] * len(take))
-                out_b.extend(c_ids[take].tolist())
-                out_c.extend(M[i, take].tolist())
+            # vectorized per-row top-k under (-cosine, id): order the
+            # candidate COLUMNS by id once, then a STABLE row argsort on
+            # -cosine breaks ties by id for free — no per-query loop
+            col_order = np.argsort(c_ids)
+            cid = c_ids[col_order]
+            Ms = M[:, col_order].copy()
+            Ms[cid[None, :] == q_ids[:, None]] = -np.inf  # mask self
+            kk = min(k, Ms.shape[1])
+            idx = np.argsort(-Ms, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(Ms, idx, axis=1)
+            valid = top > -np.inf
+            out_a.append(np.repeat(q_ids, kk)[valid.ravel()])
+            out_b.append(cid[idx].ravel()[valid.ravel()])
+            out_c.append(top.ravel()[valid.ravel()])
 
         emit(l_ids, r_ids, C)
         if not same:  # off-diagonal: R rows are queries against L too
             emit(r_ids, l_ids, C.T)
-        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
     cands = (
         _block_tagged(embeddings, n_blocks)

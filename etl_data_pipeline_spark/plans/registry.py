@@ -46,6 +46,7 @@ _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.relational",
     "etl_data_pipeline_spark.plans.etl",
     "etl_data_pipeline_spark.plans.curation",
+    "etl_data_pipeline_spark.plans.timeseries",
 ]
 
 _loaded = False

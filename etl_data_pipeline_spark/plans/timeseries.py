@@ -1,0 +1,160 @@
+"""Time-series queries over ``events`` — resampling and gap-filling,
+the hypertable-rollup-shaped operations an events store needs beyond
+plain windowed aggregation (J1-J4 live in plans/events.py).
+
+Oracle parity notes: ts is pre-cast to microseconds in every oracle CTE
+(mirrors Spark's ns->us ingest truncation, same convention as
+j9_stream_stream_join); open/close/min/max move single values (no
+accumulation order to disagree on); summed doubles go through the
+grid_sum fixed-point discipline (functions/canonical.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_data_pipeline_spark.catalog import load_table
+from etl_data_pipeline_spark.functions.canonical import grid_sum
+from etl_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "resample_ohlc",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(ts AS TIMESTAMP) AS tsu
+      FROM events
+    ), v AS (
+      SELECT user_id, h, value,
+             FIRST_VALUE(value) OVER (PARTITION BY user_id, h
+               ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS open,
+             LAST_VALUE(value) OVER (PARTITION BY user_id, h
+               ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS close
+      FROM ev
+    )
+    SELECT user_id, CAST(h AS VARCHAR) AS hour_start,
+           ANY_VALUE(open) AS open, ANY_VALUE(close) AS close,
+           MIN(value) AS low, MAX(value) AS high,
+           COUNT(*) AS n_events
+    FROM v GROUP BY user_id, h
+    """,
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to per-user hourly OHLC bars (open/high/low/close +
+    count) — the candlestick rollup. First/last are taken under the
+    total order (ts, event_id) via an unbounded frame window; min/max/
+    count are plain aggregates. One shuffle on (user_id, hour), both the
+    window and the groupBy reuse it.
+
+    Scale: partition count = users x hours, uniformly sized; no
+    per-stratum global sort (each frame sorts only its own hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id", "h")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    v = ev.withColumn("h", h).select(
+        "user_id",
+        "h",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return v.groupBy("user_id", "h").agg(
+        F.any_value("open").alias("open"),
+        F.any_value("close").alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("h").cast("string").alias("hour_start"),
+        "open",
+        "close",
+        "low",
+        "high",
+        "n_events",
+    )
+
+
+@query(
+    "gap_fill_locf",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, value,
+             DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h
+      FROM events
+    ), hourly AS (
+      SELECT user_id, h,
+             SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) / 1000000.0
+               AS total_value
+      FROM ev GROUP BY user_id, h
+    ), spine AS (
+      SELECT user_id,
+             UNNEST(GENERATE_SERIES(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+      FROM ev GROUP BY user_id
+    ), joined AS (
+      SELECT s.user_id, s.h, hr.total_value
+      FROM spine s LEFT JOIN hourly hr
+        ON hr.user_id = s.user_id AND hr.h = s.h
+    )
+    SELECT user_id, CAST(h AS VARCHAR) AS hour_start,
+           LAST_VALUE(total_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS total_value,
+           total_value IS NULL AS gap_filled
+    FROM joined
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling: a dense per-user hourly spine (sequence + explode
+    between each user's first and last active hour) left-joined to the
+    hourly totals, with missing hours filled by last-observation-carried-
+    forward (last(..., ignoreNulls) over an ordered running frame).
+    ``gap_filled`` marks synthesized rows.
+
+    Scale: the spine is generated, never materialized wide (one row per
+    user before explode); the LOCF window shuffles on user_id only and
+    each user's frame is |hours| rows. Totals use the grid_sum
+    fixed-point discipline so parity is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        ev.select("user_id", h.alias("h"), "value")
+        .groupBy("user_id", "h")
+        .agg(grid_sum(F.col("value")).alias("total_value"))
+    )
+    spine = (
+        ev.select("user_id", h.alias("h"))
+        .groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").cast("string").alias("hour_start"),
+        F.last("total_value", ignorenulls=True).over(w).alias("total_value"),
+        F.col("total_value").isNull().alias("gap_filled"),
+    )

@@ -173,6 +173,35 @@ def cosine_topk_naive(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def knn_top3_naive(spark: SparkSession, d: str) -> DataFrame:
+    """Plain exact top-3 kNN per vector: HOF cosine over the all-pairs
+    join + a ranking window — the formulation a plain PySpark user
+    writes; baseline for ``i6c_quantized_rerank`` (same output contract:
+    top-3 exact-cosine neighbors per query)."""
+    e = load_table(spark, d, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    a = e.select(F.col("vec_id").alias("q"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("n"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("q") != F.col("n")).withColumn(
+        "cosine",
+        dot(F.col("va"), F.col("vb"))
+        / F.sqrt(dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q", "n", "cosine")
+    )
+
+
 BASELINE_QUERIES = {
     "q1_pricing_summary": q1_plain,
     "q3_topk_join": q3_plain,
@@ -182,6 +211,7 @@ BASELINE_QUERIES = {
     "events_tumbling": events_tumbling_plain,
     "wordcount": wordcount_plain,
     "cosine_topk": cosine_topk_naive,
+    "i6c_quantized_rerank": knn_top3_naive,
 }
 
 
