@@ -47,6 +47,7 @@ _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.etl",
     "etl_data_pipeline_spark.plans.curation",
     "etl_data_pipeline_spark.plans.timeseries",
+    "etl_data_pipeline_spark.plans.modern",
 ]
 
 _loaded = False
