@@ -297,3 +297,69 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 25)
     )
+
+
+@query(
+    "pack_greedy",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ), g(lang, rn, n_tok, pack_id, fill) AS (
+      SELECT lang, rn, n_tok, CAST(0 AS BIGINT), n_tok
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.rn, d.n_tok,
+             CASE WHEN g.fill + d.n_tok > 256
+                  THEN g.pack_id + 1 ELSE g.pack_id END,
+             CASE WHEN g.fill + d.n_tok > 256
+                  THEN d.n_tok ELSE g.fill + d.n_tok END
+      FROM g JOIN d ON d.lang = g.lang AND d.rn = g.rn + 1
+    )
+    SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM g GROUP BY lang, pack_id
+    """,
+)
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy close-when-full sequence packing (no document straddles a
+    pack): docs stream in doc_id order per language; a pack closes when
+    the next doc would overflow the 256-token budget. The running reset
+    makes this inherently sequential per stratum — exactly what
+    ``applyInPandas`` per language expresses (state never leaves the
+    task); the oracle replays the same recurrence as a row-recursive
+    CTE.  Complements ``pack_sequences`` (offset packing, pure window).
+
+    Scale: shard the group key to (lang, doc_id bucket) — greedy runs
+    per shard, pack ids are (shard, local id) pairs, and the boundary
+    cost is at most one underfilled pack per shard."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pid, fill, first = 0, 0, True
+        ids = []
+        for t in pdf["n_tok"]:
+            if not first and fill + t > 256:
+                pid += 1
+                fill = t
+            else:
+                fill += t
+            first = False
+            ids.append(pid)
+        pdf = pdf.assign(pack_id=ids)
+        return pdf
+
+    packed = toks.groupBy("lang").applyInPandas(
+        pack, schema="doc_id long, lang string, n_tok long, pack_id long"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )
