@@ -259,6 +259,66 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
     return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-band LSH: split the ``bits``-bit
+    fingerprint into ``bands`` equal bit-slices and equi-join docs that
+    share any slice, then keep candidates within ``max_hamming``.
+
+    By pigeonhole the banding is EXACT (not approximate) whenever
+    ``max_hamming < bands``: a pair differing in <= max_hamming bits
+    cannot touch every band, so at least one band matches and the pair
+    is generated. Candidate generation is therefore an equi-join on
+    (band index, band value) — one shuffle, never all-pairs — and the
+    result is identical to the O(n^2) scan an oracle runs at test scale.
+    Returns (a, b, hamming) with a < b.
+    """
+    width = bits // bands
+    sh = simhash_fingerprints(docs, bits=bits)
+    slices = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("k"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "k",
+        F.expr(f"shiftright(simhash, k * {width}) & {(1 << width) - 1}").alias(
+            "band_val"
+        ),
+    )
+    left = slices.select(
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("sim_a"),
+        "k",
+        "band_val",
+    )
+    right = slices.select(
+        F.col("doc_id").alias("b"),
+        F.col("simhash").alias("sim_b"),
+        "k",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["k", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Token n-gram shingles via ordered window leads: (doc_id, shingle)."""
     t = docs.select(

@@ -363,3 +363,143 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("pack_tokens"),
     )
+
+
+@query(
+    "simhash_neardup",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+      ) GROUP BY doc_id, token
+    ), th AS (
+      SELECT doc_id, tf, ('0x' || SUBSTR(MD5(token), 1, 8))::BIGINT AS h
+      FROM tf
+    ), votes AS (
+      SELECT doc_id, j.range AS j,
+             SUM(tf * ((CAST(FLOOR(h / POW(2, j.range)) AS BIGINT) % 2) * 2
+                       - 1)) AS v
+      FROM th, RANGE(32) j
+      GROUP BY doc_id, j.range
+    ), sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(POW(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: SimHash near-dup PAIRS via Hamming-band LSH — the
+    fourth dedup modality (exact sha / MinHash-Jaccard / n-gram Jaccard
+    / SimHash-Hamming), completing the fingerprint into an actual
+    pair-finder. 32-bit fingerprints split into 4 bands of 8 bits;
+    docs sharing any band are candidates (equi-join, one shuffle);
+    pairs within Hamming distance 3 survive. Pigeonhole makes the
+    banding EXACT for distance <= 3 (< bands), so the oracle — a
+    brute-force all-pairs scan, affordable only at test scale — must
+    agree pair-for-pair with the banded plan that runs at 100 TB.
+    """
+    from etl_data_pipeline_spark.operators.text import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, bits=32, bands=4, max_hamming=3)
+
+
+@query(
+    "decontaminate",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+    idx AS (
+      SELECT doc_id, s, UNNEST(GENERATE_SERIES(1, LEN(s) - 2)) AS i FROM d
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(s[i:i+2], ' ') AS sh FROM idx
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared
+    FROM sh s JOIN ev ON s.sh = ev.sh
+    WHERE s.doc_id % 97 != 0
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the LLM-pipeline gate that flags
+    training documents sharing verbatim n-grams with a held-out eval
+    set (here: docs with doc_id % 97 == 0 stand in for the benchmark;
+    word TRIGRAMS stand in for the usual 8-13-grams because this
+    synthetic corpus is near-maximum-entropy).
+
+    Plan shape at 100 TB: the eval side distills to a DISTINCT shingle
+    set that is tiny relative to the corpus (benchmarks are small), so
+    Spark broadcasts it and the check is a broadcast semi-join over the
+    exploded training shingles — no full shuffle of the corpus; output
+    is per-doc shared-shingle counts for threshold/audit downstream.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "s", F.split("text", " ")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 2),"
+                " (x, i) -> concat_ws(' ', slice(s, i + 1, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
+@query(
+    "frequent_ngrams",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+    idx AS (
+      SELECT doc_id, s, UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS i FROM d
+    ),
+    bg AS (SELECT ARRAY_TO_STRING(s[i:i+1], ' ') AS sh FROM idx),
+    cnt AS (SELECT sh, COUNT(*) AS n FROM bg GROUP BY sh)
+    SELECT sh, n FROM cnt
+    ORDER BY n DESC, sh
+    LIMIT 20
+    """,
+)
+def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 word bigrams by occurrence (ties
+    broken lexically so the top-k is total-ordered). The scale shape is
+    partial-agg -> shuffle on the ngram -> TakeOrderedAndProject: the
+    map-side combine absorbs the duplicate mass, and only per-partition
+    top candidates reach the driver. The exact-top-k baseline that a
+    count-min/Misra-Gries sketch would approximate on a stream."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "s", F.split("text", " ")
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 1),"
+                " (x, i) -> concat_ws(' ', slice(s, i + 1, 2)))"
+            )
+        ).alias("sh")
+    )
+    return (
+        bg.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("sh"))
+        .limit(20)
+    )

@@ -1,6 +1,15 @@
 """Streaming demo queries (J5/J6) — rows-only driver checks (no DuckDB
 analogue for watermark semantics); exact expectations are asserted by
-tests/test_operators.py against batch computations."""
+tests/test_operators.py against batch computations.
+
+Platform note (verified 2026-08-13): ``transformWithStateInPandas`` —
+Spark 4.0's successor to ``applyInPandasWithState`` — cannot run in this
+container: its driver<->worker state-server protocol requires a working
+``google.protobuf`` (fails with ``ImportError: cannot import name
+'descriptor'``), and installs are unavailable offline. J7
+(applyInPandasWithState, exact oracle) covers the custom-stateful-operator
+surface; the TWS port is a config+API swap on a normal cluster, with the
+RocksDB state store provider enabled."""
 
 from __future__ import annotations
 

@@ -184,3 +184,37 @@ def test_pack_sequences_single_shuffle_chain(spark):
     plan = plan_of(spark, "pack_sequences")
     assert plan.count("CartesianProduct") == 0
     assert "Window" in plan
+
+
+def test_lateral_topk_decorrelates_to_ranked_join(spark):
+    # the LATERAL ... ORDER BY ... LIMIT subquery must decorrelate into
+    # a rank-limited join (WindowGroupLimit), never per-row subquery
+    # execution or a cartesian pairing
+    plan = plan_of(spark, "sql_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    # the benchmark shingle set is small by nature — it must broadcast
+    # so the corpus side never shuffles for the probe
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_neardup_band_join_is_equijoin(spark):
+    # candidate generation joins on (band, value) — an equi-join; the
+    # all-pairs comparison exists only in the DuckDB oracle
+    plan = plan_of(spark, "simhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clustered_layout_filter_pushes_to_scan(spark):
+    # the user-band predicate must reach the parquet reader of the
+    # clustered copy so footer min/max stats can skip files/row-groups
+    plan = plan_of(spark, "a14_clustered_layout")
+    tail = plan.split("PushedFilters")
+    assert len(tail) > 1 and "user_id" in tail[1].splitlines()[0]
