@@ -132,3 +132,103 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens_i").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "pretrain_corpus",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, lang, source, text
+      FROM (
+        SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM documents d
+      ) WHERE rn = 1
+    ), dd AS (
+      SELECT doc_id, lang, source, STRING_SPLIT(text, ' ') AS s FROM dedup
+    ), idx AS (
+      SELECT doc_id, s, UNNEST(GENERATE_SERIES(1, LEN(s) - 2)) AS i FROM dd
+    ), sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(s[i:i+2], ' ') AS sh FROM idx
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.sh = ev.sh
+      WHERE s.doc_id % 97 != 0
+    ), clean AS (
+      SELECT * FROM dd
+      WHERE doc_id % 97 != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sampled AS (
+      SELECT * FROM clean
+      WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0
+            < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                        WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.25
+                        WHEN 'zh' THEN 0.1 ELSE 0.05 END
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(LEN(s)) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY lang, source
+    """,
+)
+def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus builder — the four curation stages
+    a real LLM data pipeline chains, as ONE exact-oracle DAG:
+
+    1. exact dedup: content-hash keep-min (one shuffle on sha2(text));
+    2. decontamination: drop eval docs (doc_id % 97 == 0) and every
+       training doc sharing a word trigram with them (broadcast
+       semi-join against the tiny eval shingle set — cf. decontaminate);
+    3. mixture sampling: per-language acceptance via the deterministic
+       Knuth multiplicative hash (stateless map, cf. mixture_sample);
+    4. corpus fingerprint: per-(lang, source) doc + token totals.
+
+    Scale: the dedup shuffle dominates and shards by content hash; the
+    contamination probe never shuffles the corpus (broadcast); sampling
+    is shuffle-free; the final agg reduces to |lang x source| rows. The
+    oracle replays every stage in SQL (dedup partitions by raw text
+    where Spark hashes it first — same keep-min survivor either way),
+    so the driver hash pins the WHOLE pipeline, not one operator."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    dedup = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("s", F.split("text", " "))
+    )
+    sh = dedup.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 2),"
+                " (x, i) -> concat_ws(' ', slice(s, i + 1, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.filter(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 0.9)
+        .when(F.col("lang") == "de", 0.5)
+        .when(F.col("lang") == "fr", 0.5)
+        .when(F.col("lang") == "es", 0.25)
+        .when(F.col("lang") == "zh", 0.1)
+        .otherwise(0.05)
+    )
+    sampled = clean.filter(u < rate)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("s")).cast("long").alias("total_tokens"),
+    )

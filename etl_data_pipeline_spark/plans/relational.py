@@ -1143,3 +1143,136 @@ def g3b_dedup_subset_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "c9_nullsafe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS grp
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS grp
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT COALESCE(CAST(l.grp AS VARCHAR), 'null') AS grp_str,
+           COUNT(*) AS n_pairs
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY 1
+    """,
+)
+def c9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 (added): null-safe equi join (``<=>`` / IS NOT DISTINCT FROM)
+    — NULL keys match each other instead of silently dropping, the
+    contract late-arriving-dimension ETL needs. Still a HASH join (the
+    null bucket is a normal bucket), not the BNLJ a naive
+    ``l.grp = r.grp OR (l.grp IS NULL AND r.grp IS NULL)`` predicate
+    would force — that distinction is the whole point at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    grp = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 5
+    )
+    left = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", grp.alias("grp")
+    )
+    right = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", grp.alias("grp_r")
+    )
+    joined = left.join(right, F.col("grp").eqNullSafe(F.col("grp_r")))
+    return joined.groupBy(
+        F.coalesce(F.col("grp").cast("string"), F.lit("null")).alias("grp_str")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "g1c_union_missing_cols",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS extra
+    FROM nation
+    UNION ALL
+    SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+           NULL AS extra
+    FROM region
+    """,
+)
+def g1c_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 variant: ``unionByName(allowMissingColumns=True)`` — schema-
+    evolving append where the older leg lacks a column and gets NULL;
+    matching is BY NAME (positional union of evolving extracts is the
+    classic silent-corruption bug this exists to prevent)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("extra"),
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k"),
+        F.col("r_name").alias("name"),
+    )
+    return n.unionByName(r, allowMissingColumns=True)
+
+
+@query(
+    "e3b_interval_frame",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_str,
+           COUNT(*) OVER w AS n_last_hour,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0
+             AS value_last_hour
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def e3b_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 variant: time-interval RANGE frame — per-user trailing-hour
+    event count and value total at every event, the window-native form
+    of a sliding aggregate (no self-join, no bucket explode; one sort
+    per partition key). The frame bound is an INTERVAL, so rows enter/
+    leave by timestamp distance, not row position; sums ride the 1e-6
+    fixed-point grid for cross-engine exactness."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(F.floor(F.col("value") * 1_000_000)).over(w) / 1_000_000.0).alias(
+            "value_last_hour"
+        ),
+    )
+
+
+@query(
+    "d10_bitwise_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           BIT_OR(o_orderkey) AS key_or,
+           BIT_AND(o_orderkey) AS key_and,
+           BIT_XOR(o_orderkey) AS key_xor
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def d10_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 (added): bitwise OR/AND/XOR aggregates — flag-mask folding
+    (permission sets, feature bitmaps) and XOR-parity checksums; fully
+    associative+commutative, so they partial-aggregate map-side like
+    sum and never care about row order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )

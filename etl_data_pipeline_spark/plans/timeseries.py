@@ -158,3 +158,94 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total_value", ignorenulls=True).over(w).alias("total_value"),
         F.col("total_value").isNull().alias("gap_filled"),
     )
+
+
+@query(
+    "daily_active_cumulative",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+    )
+    SELECT CAST(first_day AS VARCHAR) AS day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+)
+def daily_active_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth rollup: first-seen day per user, daily new-user
+    counts, and the running cumulative user total — the standard DAU/
+    growth curve computed from raw events. Two aggregations collapse
+    the event volume to |users| then |days| rows BEFORE the window
+    runs, so the running sum is driver-cheap at any scale; the global
+    ordered window over the day series is fine because days are few
+    (a per-cohort partition would restore parallelism if not)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "e5_running_distinct",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+      FROM events WHERE user_id < 50
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, tsu,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY tsu, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM ev
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY tsu, event_id)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def e5_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (added): RUNNING COUNT DISTINCT — a window no engine supports
+    natively (COUNT(DISTINCT) OVER is invalid in both Spark and DuckDB)
+    — via the first-occurrence-flag decomposition: mark each (user,
+    event_type)'s first event with row_number()=1, then a running sum
+    of flags per user. Two window passes over the same sort order, one
+    shuffle on user_id; the identical formulation is the oracle, so
+    parity pins the trick itself."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+        "ts",
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
