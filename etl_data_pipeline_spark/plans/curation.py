@@ -503,3 +503,238 @@ def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("sh"))
         .limit(20)
     )
+
+
+@query(
+    "gopher_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(text, ' ')) AS tok,
+             UNNEST(GENERATE_SERIES(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bg
+      FROM toks
+    ), bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM big WHERE bg IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(2 * MAX(c) AS DOUBLE) / (SUM(c) + 1) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS dup_bigram_frac,
+           2.0 * MAX(c) / (SUM(c) + 1) <= 0.10
+             AND CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c) <= 0.10 AS keep
+    FROM bgc GROUP BY doc_id
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4 rule family):
+    per-document fraction of token mass inside (a) the single most
+    frequent bigram and (b) all bigrams occurring more than once; docs
+    above either threshold are repetition spam and flagged drop. Both
+    stats are exact integer ratios (one IEEE division each), so the
+    doubles are bit-identical cross-engine. Bigrams are built JVM-side
+    with transform/slice (no per-doc window sort, no Python); the only
+    shuffles are groupBy (doc_id, bigram) then doc_id — both scale-free
+    of corpus width. Thresholds sit at this corpus's median so the flag
+    genuinely partitions the data."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "s", F.split("text", " ")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 1),"
+                " (x, i) -> concat_ws(' ', slice(s, i + 1, 2)))"
+            )
+        ).alias("bg"),
+    )
+    bgc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per = bgc.groupBy("doc_id").agg(
+        (
+            (2 * F.max("c")).cast("double") / (F.sum("c") + 1)
+        ).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+    return per.select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        (
+            (F.col("top_bigram_frac") <= 0.10)
+            & (F.col("dup_bigram_frac") <= 0.10)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "segment_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             UNNEST(GENERATE_SERIES(0, (len(toks) - 1) // 20)) AS cpos,
+             toks
+      FROM docs
+    ), seg AS (
+      SELECT doc_id, cpos,
+             array_to_string(toks[cpos * 20 + 1 : cpos * 20 + 20], ' ')
+               AS chunk
+      FROM chunks
+    ), ranked AS (
+      SELECT doc_id, cpos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cpos)
+               AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (rn = 1) AS n_kept,
+           md5(COALESCE(STRING_AGG(chunk, ' ' ORDER BY cpos)
+                          FILTER (rn = 1), '')) AS clean_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup with reassembly — the
+    boilerplate-removal pass real pretrain pipelines run between
+    doc-level dedup and tokenization. Documents are cut into 20-token
+    segments; a segment instance survives only if it is the corpus-wide
+    FIRST occurrence (min (doc_id, position) — deterministic, not
+    arbitrary); survivors are stitched back in document order. Emits
+    per-doc before/after counts plus an md5 of the cleaned text so the
+    oracle certifies the reassembled STRING, not just counts. One
+    shuffle on segment text (the dedup), one on doc_id (the rebuild) —
+    both hash-partitioned, no skew beyond natural segment popularity,
+    which the first-occurrence window absorbs because popular segments
+    still land on one reducer only once per distinct value at rank
+    time. A fully-boilerplate doc keeps zero segments and exits with
+    n_kept = 0 and the md5 of the empty string."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    seg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(toks) - 1) / 20)"
+                " AS INT)), i -> array_join(slice(toks, i * 20 + 1, 20), ' '))"
+            )
+        ).alias("cpos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cpos")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, True)).alias("n_kept"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("cpos", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
+@query(
+    "global_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id, substr(k, 1, 2) AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 2)
+                              ORDER BY k, doc_id) AS pos_in_bucket
+    FROM keyed
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle — the final pass before
+    training-data sharding: every doc gets a reproducible pseudo-random
+    position, so re-running the pipeline yields byte-identical shards.
+    Key = md5(seed || doc_id) (identical hex in every engine; change
+    the seed string to re-shuffle). The total order is (bucket =
+    first key byte, rank within bucket): 256 independent range
+    partitions each locally sorted — the scalable form of a global
+    sort (this IS repartitionByRange + sortWithinPartitions expressed
+    checkably; a single global row_number would serialize on one
+    reducer). Ranking int cast to long for cross-engine dtype parity."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy(F.substring("k", 1, 2)).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.substring("k", 1, 2).alias("bucket"),
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+                lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+                ' +', ' ', 'g')) AS norm_text,
+           len(trim(regexp_replace(
+                lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+                ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the pass that runs BEFORE exact
+    dedup so near-identical whitespace/punctuation variants hash equal:
+    strip non-alphanumerics to spaces, lowercase, collapse runs of
+    spaces, trim. Pure JVM regexp/codegen string ops, embarrassingly
+    parallel (no shuffle at all) — at 100 TB this pipelines inside the
+    scan stage. The oracle certifies the exact normalized string, not a
+    summary."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " ")),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

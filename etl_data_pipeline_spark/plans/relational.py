@@ -1295,3 +1295,45 @@ def d10_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and("o_orderkey").alias("key_and"),
         F.bit_xor("o_orderkey").alias("key_xor"),
     )
+
+
+@query(
+    "c10_null_aware_anti",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 30000
+      AND CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END
+          NOT IN (SELECT DISTINCT o_orderpriority FROM orders
+                  WHERE o_orderpriority LIKE '%URGENT%'
+                     OR o_orderpriority LIKE '1%')
+    """,
+)
+def c10_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 (added): null-aware anti join — SQL ``NOT IN (subquery)``
+    with a NULLABLE probe column, which is NOT the left-anti join of
+    c3: under three-valued logic a NULL probe yields NULL (row
+    dropped), not TRUE the way a hash anti-join's "no match" would —
+    and a NULL in the build side would empty the result entirely.
+    Spark plans this as a BroadcastHashJoin LeftAnti with
+    isNullAware=true (visible as the trailing ``true`` in
+    HashedRelationBroadcastMode) precisely because plain hash anti-join
+    semantics silently differ; going through the SQL surface
+    guarantees the real operator is exercised rather than a hand-rolled
+    approximation. The build side must be broadcastable; at 100 TB you
+    rewrite as NOT EXISTS (c3) unless the semantics genuinely need
+    three-valued NULL handling — that rewrite-or-pay choice is the
+    point this query documents."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM t_orders
+        WHERE o_orderkey < 30000
+          AND CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                   ELSE o_orderpriority END
+              NOT IN (SELECT DISTINCT o_orderpriority FROM t_orders
+                      WHERE o_orderpriority LIKE '%URGENT%'
+                         OR o_orderpriority LIKE '1%')
+        """
+    )
