@@ -738,3 +738,98 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@query(
+    "mixture_report",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_chars,
+           CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+             AS doc_share,
+           CAST(n_chars AS DOUBLE)
+             / CAST(SUM(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+             AS char_share_in_lang
+    FROM g
+    """,
+)
+def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the contribution/percent-of-total
+    view a data-mixture decision is made from: per (lang, source) doc
+    and char counts, each cell's share of the whole corpus, and its
+    char share WITHIN its language (the number a per-language mixture
+    weight multiplies). Window-over-aggregate: the corpus-wide pass
+    reduces to |lang|x|source| rows first, so the share windows run on
+    a trivially small frame — at 100 TB the only full-data work is the
+    first groupBy. Shares are single divisions of exact integers,
+    bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_all).cast("double")
+        ).alias("doc_share"),
+        (
+            F.col("n_chars").cast("double")
+            / F.sum("n_chars").over(w_lang).cast("double")
+        ).alias("char_share_in_lang"),
+    )
+
+
+@query(
+    "chunk_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(GENERATE_SERIES(0, len(toks) - 1, 24)) AS start
+      FROM d
+    )
+    SELECT doc_id, start // 24 AS chunk_id,
+           len(toks[start + 1 : start + 32]) AS chunk_len,
+           md5(array_to_string(toks[start + 1 : start + 32], ' '))
+             AS chunk_md5
+    FROM s
+    """,
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the tokenizer-feeding pass
+    of a training pipeline: size-32-token windows at stride 24 (8-token
+    overlap keeps boundary context in both neighbors). Pure per-row
+    array work (sequence + slice, all JVM codegen), no shuffle at all —
+    at 100 TB this pipelines inside the scan like text_normalize. The
+    md5 of each chunk certifies exact content + order, not just counts;
+    the final short chunk is kept (standard practice: trailing tokens
+    must not be dropped)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    s = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 32)
+    return s.select(
+        "doc_id",
+        F.floor(F.col("start") / 24).alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )

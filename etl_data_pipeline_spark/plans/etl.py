@@ -841,3 +841,28 @@ def d9_mode_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode.join(bools, "o_orderstatus").select(
         "o_orderstatus", "mode_priority", "all_positive", "any_over_400k"
     )
+
+
+@query(
+    "e1c_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def e1c_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 completion: NTILE bucketing — the one ranking window function
+    the E-family queries didn't yet pin. Both engines define NTILE
+    identically (larger buckets first when the partition doesn't divide
+    evenly), so the total-order tiebreak (acctbal, custkey) makes the
+    assignment deterministic. Spark returns int32, DuckDB int64 — cast
+    to long (the standing ranking-fn dtype convention)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -249,3 +249,163 @@ def e5_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events
+    ), v AS (
+      SELECT user_id, MIN(tsu) AS t_view
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t_view, MIN(e.tsu) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.tsu > v.t_view
+      GROUP BY e.user_id, v.t_view
+    ), p AS (
+      SELECT e.user_id, c.t_click, MIN(e.tsu) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.tsu > c.t_click
+      GROUP BY e.user_id, c.t_click
+    )
+    SELECT v.user_id,
+           CAST(v.t_view AS VARCHAR) AS t_view,
+           CAST(c.t_click AS VARCHAR) AS t_click,
+           CAST(p.t_purchase AS VARCHAR) AS t_purchase,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage
+    counts only if it happens strictly AFTER the user's first event of
+    the previous stage — the temporal constraint that separates a funnel
+    from three independent GROUP BYs. Three filtered min-aggregations
+    chained by user_id equi-joins; every join and agg hash-partitions on
+    user_id, so at cluster scale the whole chain reuses one exchange
+    (and each stage's input shrinks monotonically — classic funnel
+    pruning). Timestamps cross the oracle boundary as strings; stage is
+    1/2/3 = deepest step reached."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").cast("string").alias("t_view"),
+            F.col("t_click").cast("string").alias("t_click"),
+            F.col("t_purchase").cast("string").alias("t_purchase"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+@query(
+    "anomaly_p95",
+    oracle="""
+    WITH thr AS (
+      SELECT user_id, ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, thr.p95
+    FROM events e JOIN thr ON e.user_id = thr.user_id
+    WHERE e.value > thr.p95
+    """,
+)
+def anomaly_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity outlier flagging: exact 95th-percentile threshold per
+    user, then every event strictly above its user's threshold. The
+    agg-then-join-back shape is the standard "compare each row to its
+    group statistic" pattern; both legs hash-partition on user_id so the
+    join reuses the aggregation's exchange. Exact percentile sorts per
+    group (fine per-user — groups are bounded); the 6dp round is the
+    same single-interpolated-value convention d8 proved cross-engine.
+    At 100 TB swap percentile for percentile_approx and the rest of the
+    plan is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", 0.95), 6).alias("p95")
+    )
+    return (
+        ev.join(thr, "user_id")
+        .filter(F.col("value") > F.col("p95"))
+        .select("event_id", "user_id", "value", "p95")
+    )
+
+
+@query(
+    "rollup_reuse_daily_monthly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS micros,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(DATE_TRUNC('month', day) AS VARCHAR) AS month, event_type,
+           SUM(micros) / 1000000.0 AS total_value,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           COUNT(*) AS n_days
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def rollup_reuse_daily_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup REUSE — the materialized-view discipline of a
+    warehouse ETL: the monthly aggregate is computed FROM the daily
+    aggregate, not from raw events, so the expensive corpus-wide pass
+    happens once and each coarser grain reads the (tiny) finer one.
+    Exactness survives re-aggregation because the daily level keeps the
+    fixed-point BIGINT micro-sum (grid_sum's internal representation)
+    and only the final monthly projection divides back to double —
+    summing already-divided doubles would reintroduce order dependence.
+    At scale the daily table is what you'd persist (partitioned by
+    month); the monthly pass is then a metadata-pruned scan of it."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1_000_000)).alias("micros"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").cast("string").alias(
+                "month"
+            ),
+            "event_type",
+        )
+        .agg(
+            (F.sum("micros") / 1_000_000.0).alias("total_value"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
