@@ -144,11 +144,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_engine_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # INT64 nanos -> timestamp[us]. Must be integer DIV: float division
-        # loses precision above 2^53 (epoch-nanos ~1.7e18) and rounds where
-        # DuckDB truncates.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # INT64 nanos -> timestamp[us]. Must be integer DIV: float
+            # division loses precision above 2^53 (epoch-nanos ~1.7e18)
+            # and rounds where DuckDB truncates.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # A session we didn't build may read TIMESTAMP(NANOS) parquet
+            # as TIMESTAMP_NTZ (no nanosAsLong conf at scan time). With
+            # session tz pinned to UTC the NTZ->LTZ cast preserves the
+            # wall-clock value exactly, and downstream arithmetic
+            # (e.g. cast to double for session gaps) stays legal.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

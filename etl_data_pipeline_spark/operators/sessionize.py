@@ -32,14 +32,15 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(ts, "event_id")
     gap_s = float(gap_minutes * 60)
-    prev_ts = F.lag(ts).over(w)
     # fractional-second gap: cast(timestamp as double) keeps microsecond
     # precision; unix_timestamp() would truncate to whole seconds and
-    # mis-classify gaps within 1s of the threshold.
-    new_session = (
-        prev_ts.isNull()
-        | ((F.col(ts).cast("double") - prev_ts.cast("double")) > gap_s)
-    ).cast("long")
+    # mis-classify gaps within 1s of the threshold. The intermediate
+    # cast("timestamp") is a no-op for LTZ input but makes the double
+    # cast legal when the caller hands us TIMESTAMP_NTZ (Spark forbids
+    # NTZ->double directly; LTZ->double is defined as epoch seconds).
+    ts_s = F.col(ts).cast("timestamp").cast("double")
+    prev_ts = F.lag(ts_s).over(w)
+    new_session = (prev_ts.isNull() | ((ts_s - prev_ts) > gap_s)).cast("long")
     return events.withColumn(
         "session_id",
         F.sum(new_session).over(

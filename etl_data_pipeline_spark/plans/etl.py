@@ -683,7 +683,9 @@ def f3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE d1.doc_id < 10
     )
     SELECT a, b,
-           LIST_SORT(LIST_DISTINCT(LIST_INTERSECT(ta, tb))) AS common,
+           COALESCE(ARRAY_TO_STRING(
+             LIST_SORT(LIST_DISTINCT(LIST_INTERSECT(ta, tb))), ' '), '')
+             AS common,
            CAST(LEN(LIST_DISTINCT(ta || tb)) AS BIGINT) AS n_union,
            CAST(LEN(LIST_FILTER(LIST_DISTINCT(ta),
                 x -> NOT LIST_CONTAINS(tb, x))) AS BIGINT) AS n_only_a
@@ -692,8 +694,9 @@ def f3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h4b_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 extension: array set algebra (intersect / union / except) on
-    token arrays — sorted + deduped before output so both engines agree
-    on element order (set ops guarantee none)."""
+    token arrays — sorted + deduped, then serialized to a space-joined
+    string (the driver's canonicalizer cannot sort array cells, so
+    array-typed columns must not reach the final projection)."""
     d = load_table(spark, sf_dir, "documents")
     d1 = d.select(F.col("doc_id").alias("a"), F.split("text", " ").alias("ta"))
     d2 = d.select(F.col("doc_id").alias("b"), F.split("text", " ").alias("tb"))
@@ -701,7 +704,9 @@ def h4b_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a",
         "b",
-        F.sort_array(F.array_distinct(F.array_intersect("ta", "tb"))).alias("common"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect("ta", "tb"))), " "
+        ).alias("common"),
         F.size(F.array_distinct(F.array_union("ta", "tb"))).cast("long").alias(
             "n_union"
         ),

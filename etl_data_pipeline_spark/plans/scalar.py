@@ -186,13 +186,31 @@ def h4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("h5_map_funcs")  # rows-only: map construction/extraction is engine-specific
+@query(
+    "h5_map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type, MAX(CAST(value AS DOUBLE)) AS max_value
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           STRING_AGG(event_type, ',' ORDER BY event_type) AS type_keys,
+           MAX(CASE WHEN event_type = 'click' THEN max_value END) AS click_val,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM m GROUP BY user_id
+    """,
+)
 def h5_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H5: map functions — build a map per event type, extract keys/values.
+    """H5: map functions — build a map per event type, extract keys /
+    values / size via map_keys / element_at / size.
 
-    Rows-only driver check (map layout is engine-specific); authority:
-    tests/test_operators.py::test_h5_map_extract_matches_plain_agg
-    (every scalar extracted from the map equals a plain aggregation).
+    The map itself stays internal to the query; the final projection is
+    all scalars (keys joined to a CSV string) because the driver's
+    canonicalizer cannot sort array/map cells (round-2 failure:
+    `unhashable numpy.ndarray`). That also upgrades this from a
+    rows-only check to an exact oracle: the map extraction must equal
+    the plain relational aggregation on the DuckDB side. Supporting
+    authority: tests/test_operators.py::test_h5_map_extract_matches_plain_agg.
     """
     ev = load_table(spark, sf_dir, "events")
     # dedupe to one entry per (user, type) BEFORE building the map —
@@ -207,7 +225,7 @@ def h5_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_type.select(
         "user_id",
-        F.map_keys("latest_by_type").alias("type_keys"),
+        F.array_join(F.map_keys("latest_by_type"), ",").alias("type_keys"),
         F.element_at("latest_by_type", "click").alias("click_val"),
         F.size("latest_by_type").cast("long").alias("n_types"),
     )
@@ -326,20 +344,26 @@ def h2b_datetime_funcs_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h1c_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           REGEXP_EXTRACT_ALL(text, '[a-z]*ing') AS ing_words,
+           COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[a-z]*ing'),
+                                    ' '), '') AS ing_words,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]*ing')) AS BIGINT) AS n_ing
     FROM documents
     """,
 )
 def h1c_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H1 extension: regexp_extract_all — multi-match extraction into an
-    array column (both engines return matches in left-to-right document
-    order, so the arrays compare exactly)."""
+    """H1 extension: regexp_extract_all — multi-match extraction (both
+    engines return matches in left-to-right document order).
+
+    The match array is serialized to a space-joined string in the final
+    projection: the driver's canonicalizer sorts on every output column
+    and cannot order list cells (round-2 failure: `unhashable
+    numpy.ndarray`), so array-typed results must leave the query as
+    scalars. The array op itself is still exercised — join happens after
+    extraction."""
     d = load_table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]*ing"))
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[a-z]*ing")).alias("ing_words"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]*ing")))
-        .cast("long")
-        .alias("n_ing"),
+        F.array_join(matches, " ").alias("ing_words"),
+        F.size(matches).cast("long").alias("n_ing"),
     )

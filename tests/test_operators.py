@@ -157,8 +157,10 @@ def test_h5_map_extract_matches_plain_agg(spark):
     ca, cb = a["click_val"], b["click_val"]
     assert (ca.isna() == cb.isna()).all()
     assert (ca.dropna() == cb[ca.notna()]).all()
-    # keys list is the sorted distinct event types per user
-    assert (a["type_keys"].map(len) == b["n_types"]).all()
+    # keys string is the sorted distinct event types per user, CSV-joined
+    # (scalarized for the driver canonicalizer — see the h5 docstring)
+    assert (a["type_keys"].map(lambda s: len(s.split(","))) == b["n_types"]).all()
+    assert (a["type_keys"].map(lambda s: s.split(",") == sorted(s.split(",")))).all()
 
 
 def test_d8b_approx_percentile_near_exact(spark):
