@@ -281,3 +281,121 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "age_weeks")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "c8b_asof_forward",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           CAST(MIN(v.ts) AS VARCHAR) AS next_view_ts
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts > p.ts
+     AND v.ts <= p.ts + INTERVAL 72 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def c8b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 forward variant: for each purchase, the EARLIEST view by the
+    same user STRICTLY after the purchase, within a 72-hour tolerance
+    (null when none) — the "next touch after conversion" as-of join.
+
+    Implemented without any join: purchases and views are tagged into
+    one stream and a RANGE frame over epoch-microseconds
+    ``(current+1 .. current+72h)`` takes the min following view
+    timestamp per user — one shuffle on user_id, linear scan per
+    partition, no O(n*m) pair blowup. The strictness lives in the
+    frame's +1 lower bound (micros are the finest grain, so +1 micro ==
+    strictly after). The oracle is the quadratic-but-small join+MIN
+    formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias("view_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, 72 * 3600 * 1_000_000)
+    )
+    out = tagged.withColumn("next_view_us", F.min("view_us").over(w))
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.timestamp_micros("next_view_us").cast("string").alias("next_view_ts"),
+    )
+
+
+@query(
+    "interval_overlap_join",
+    oracle=_SESSION_ORACLE
+    + """
+    , bounds AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sessions GROUP BY user_id, session_id
+    ), peaks AS (
+      SELECT DATE_TRUNC('hour', ts) AS h
+      FROM events GROUP BY 1 HAVING COUNT(*) >= 5
+    )
+    SELECT b.user_id, b.session_id,
+           COUNT(p.h) AS n_peak_hours
+    FROM bounds b LEFT JOIN peaks p
+      ON p.h BETWEEN DATE_TRUNC('hour', b.s_start) AND b.s_end
+    GROUP BY b.user_id, b.session_id
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user session (an interval [first
+    event, last event]) counted against corpus-wide "peak hours" (hour
+    buckets holding >= 8 events) it overlaps.
+
+    The scalable formulation is BANDED: sessions explode into the hour
+    buckets they span (``sequence`` + explode — bounded fan-out, sessions
+    are gap-capped) and overlap becomes an EQUI-join on the hour — no
+    range-condition BNLJ anywhere at any scale. The oracle states the
+    same result as a direct range-predicate join, which DuckDB can
+    afford at oracle scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_minutes=30)
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    peaks = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("h")
+    )
+    hours = bounds.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    overlaps = hours.join(peaks, "h").groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_peak_hours")
+    )
+    return (
+        bounds.select("user_id", "session_id")
+        .join(overlaps, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce("n_peak_hours", F.lit(0)).alias("n_peak_hours"),
+        )
+    )

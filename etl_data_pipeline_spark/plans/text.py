@@ -430,3 +430,92 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("shingle").alias("n_shingles"),
         F.min("shingle").alias("min_shingle"),
     )
+
+
+@query(
+    "unigram_lm_score",
+    oracle=_TOKENS_CTE
+    + """
+    , vocab AS (
+      SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM toks
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(AVG(LN(CAST(v.c AS DOUBLE) / tot.n)), 6) AS avg_logp
+    FROM toks t
+    JOIN vocab v USING (token)
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality scoring (the kenlm-perplexity-filter shape used
+    by CCNet/Gopher-style pipelines, with the corpus's own unigram model
+    standing in for the external LM): score(doc) = mean token
+    log-probability under corpus unigram frequencies. Low scores flag
+    rare-token/garbled documents; a pipeline filters on a score band.
+
+    Two passes, both JVM-side: (1) token counts (one shuffle on token),
+    (2) counts broadcast-joined back to the token stream (vocab is
+    |distinct tokens| — Zipf-bounded, broadcastable at any corpus
+    scale), then a per-doc mean. The corpus total rides along as a
+    literal-free cross join of a 1-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(d).select("doc_id", "token")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+@query(
+    "script_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(text) AS BIGINT) AS n_chars_seen,
+           ROUND(CAST(LEN(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / LEN(text), 6) AS alpha_ratio,
+           ROUND(CAST(LEN(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / LEN(text), 6) AS digit_ratio,
+           ROUND(CAST(LEN(text) - LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(text), 6) AS space_ratio,
+           ROUND(CAST(LEN(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / LEN(text), 6) AS other_ratio
+    FROM documents
+    """,
+)
+def script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-document character-class profile (ASCII
+    letter / digit / space / other ratios) — the cheap script/garbage
+    detector every ingest pipeline runs before expensive scoring
+    (non-text blobs score near-zero alpha_ratio; CJK docs land in
+    other_ratio). Pure narrow projection: no shuffle, whole-stage
+    codegen, trivially scan-parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+
+    def ratio(kept):
+        return F.round(kept.cast("double") / n, 6)
+
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_seen"),
+        ratio(F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))).alias(
+            "alpha_ratio"
+        ),
+        ratio(F.length(F.regexp_replace("text", "[^0-9]", ""))).alias("digit_ratio"),
+        ratio(n - F.length(F.regexp_replace("text", " ", ""))).alias("space_ratio"),
+        ratio(F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))).alias(
+            "other_ratio"
+        ),
+    )
