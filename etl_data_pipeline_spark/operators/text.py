@@ -68,7 +68,10 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, threshold: float, block_col: str = "lang"
+    docs: DataFrame,
+    threshold: float,
+    block_col: str = "lang",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """I4: all-pairs token-set Jaccard within a blocking key.
 
@@ -76,12 +79,32 @@ def jaccard_pairs(
     for docs sharing a token and block — the classic inverted-index join.
     At 100 TB the block must be finer (LSH bands: see minhash_lsh_pairs);
     this exact variant is the verifier those candidates feed into.
+
+    ``max_df_frac`` is the quadratic-fan-out guard: tokens whose document
+    frequency exceeds that fraction of the block's docs (stop words) are
+    dropped BEFORE set sizes are computed, capping any single token's
+    join fan-out at (max_df_frac * |block|)^2 instead of |block|^2.
+    Jaccard is then over the filtered token sets on both engines.
     """
     t = docs.select(
         "doc_id",
         F.col(block_col).alias("block"),
         F.explode(F.split("text", " ")).alias("token"),
     ).distinct()
+    if max_df_frac is not None:
+        block_sizes = (
+            t.select("block", "doc_id")
+            .distinct()
+            .groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        dfc = t.groupBy("block", "token").agg(F.count(F.lit(1)).alias("df"))
+        keep = (
+            dfc.join(F.broadcast(block_sizes), "block")
+            .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
+            .select("block", "token")
+        )
+        t = t.join(keep, ["block", "token"])
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     t = t.join(counts, "doc_id")
     a = t.select(

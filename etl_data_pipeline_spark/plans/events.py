@@ -356,7 +356,7 @@ def c8b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: each user session (an interval [first
     event, last event]) counted against corpus-wide "peak hours" (hour
-    buckets holding >= 8 events) it overlaps.
+    buckets holding >= 5 events) it overlaps.
 
     The scalable formulation is BANDED: sessions explode into the hour
     buckets they span (``sequence`` + explode — bounded fan-out, sessions

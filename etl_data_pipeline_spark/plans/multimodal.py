@@ -41,17 +41,55 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_resize")  # rows-only: binary payload output has no SQL oracle
+@query(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(64 AS BIGINT) AS resized_bytes,
+           CAST(LEAST(OCTET_LENGTH(ENCODE(text)), 64) AS BIGINT)
+             AS content_bytes
+    FROM documents
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage: binary->binary mapInPandas with declared
-    schema (deterministic stand-in body; see operators/multimodal.py).
+    schema (deterministic truncate/zero-pad stand-in body; see
+    operators/multimodal.py — a real PIL resample slots into the same
+    batch loop).
 
-    Rows-only driver check (binary output has no SQL oracle); authority:
-    tests/test_operators.py::test_mm_resize_matches_python (payloads
-    equal Python truncate/zero-pad byte-for-byte).
+    The binary payload itself can't be hashed cross-engine, so the
+    driver-checked projection is the resize CONTRACT: every output is
+    exactly width*height bytes (``resized_bytes``), of which the first
+    min(|payload|, 64) are source content and the rest zero padding
+    (``content_bytes`` counts the bytes before the trailing zero run,
+    computed from the resized binary itself — Spark-side only, then
+    cross-checked against the source length in the oracle). Byte-for-byte
+    payload equality is asserted by
+    tests/test_operators.py::test_mm_resize_matches_python.
     """
     d = load_table(spark, sf_dir, "documents")
-    return resize_payloads(attach_binary_payload(d), width=8, height=8)
+    resized = resize_payloads(attach_binary_payload(d), width=8, height=8)
+    # content_bytes: strip the zero-pad from the resized binary and
+    # measure what's left (document text contains no NUL bytes, so the
+    # trailing zero run is exactly the padding).
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("resized").cast("long").alias("resized_bytes"),
+        # ISO-8859-1 decode is byte<->char 1:1, so CHAR length of the
+        # zero-stripped string == BYTE count of the content prefix
+        # (octet_length would re-encode to UTF-8 and inflate bytes >127).
+        F.length(
+            F.regexp_replace(
+                F.decode(F.col("resized"), "ISO-8859-1"), "\x00+$", ""
+            )
+        )
+        .cast("long")
+        .alias("content_bytes"),
+    )
 
 
 @query(

@@ -166,7 +166,8 @@ def load_all_plans() -> None:
     # Rebuild insertion order so _PRIORITY names come first — the
     # driver's correctness window follows dict order.
     front = [n for n in _PRIORITY if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(front)]
+    front_set = set(front)
+    rest = [n for n in QUERIES if n not in front_set]
     for d in (QUERIES, ORACLES):
         ordered = {n: d[n] for n in front + rest if n in d}
         d.clear()

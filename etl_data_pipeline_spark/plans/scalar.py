@@ -346,7 +346,8 @@ def h2b_datetime_funcs_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[a-z]*ing'),
                                     ' '), '') AS ing_words,
-           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]*ing')) AS BIGINT) AS n_ing
+           CAST(COALESCE(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]*ing')), 0)
+                AS BIGINT) AS n_ing
     FROM documents
     """,
 )
@@ -359,11 +360,16 @@ def h1c_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cannot order list cells (round-2 failure: `unhashable
     numpy.ndarray`), so array-typed results must leave the query as
     scalars. The array op itself is still exercised — join happens after
-    extraction."""
+    extraction.
+
+    Null/empty contract (matched by COALESCEs in the oracle): no-match
+    AND null-text both yield ('', 0) on BOTH engines — DuckDB's
+    ARRAY_TO_STRING([], ' ') is NULL and Spark's legacy size(NULL) is
+    -1, so each side needs its own guard to land on the same pair."""
     d = load_table(spark, sf_dir, "documents")
     matches = F.regexp_extract_all("text", F.lit("[a-z]*ing"))
     return d.select(
         "doc_id",
-        F.array_join(matches, " ").alias("ing_words"),
-        F.size(matches).cast("long").alias("n_ing"),
+        F.coalesce(F.array_join(matches, " "), F.lit("")).alias("ing_words"),
+        F.greatest(F.size(matches), F.lit(0)).cast("long").alias("n_ing"),
     )

@@ -1,6 +1,8 @@
-"""Streaming demo queries (J5/J6) — rows-only driver checks (no DuckDB
-analogue for watermark semantics); exact expectations are asserted by
-tests/test_operators.py against batch computations.
+"""Streaming queries (J5-J9) — ALL with exact DuckDB oracles: each
+output is a deterministic function of the staged event files (watermark
+gating, dedup survivors, state snapshots, sink contents, join pairs),
+so the equivalent batch SQL is an exact hash-checkable oracle; the same
+semantics are additionally asserted by tests/test_operators.py.
 
 Platform note (verified 2026-08-13): ``transformWithStateInPandas`` —
 Spark 4.0's successor to ``applyInPandasWithState`` — cannot run in this
@@ -36,25 +38,50 @@ def _tag(sf_dir: str) -> str:
     )
 
 
-@query("j5_stream_watermark")  # rows-only: watermark drop is not batch SQL
+@query(
+    "j5_stream_watermark",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+           COUNT(*) AS n_events
+    FROM events, mx
+    WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
+    GROUP BY 1
+    """,
+)
 def j5_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: real readStream (availableNow, 2 micro-batches) with watermark
-    + windowed agg in append mode; late batch dropped.
+    + windowed agg in append mode.
 
-    Rows-only driver check; authority: tests/test_operators.py::
-    test_j5_watermark_gates_append_emission (emitted windows are exactly
-    those the final watermark finalized; later windows held in state).
+    EXACT batch oracle: append mode emits precisely the hourly windows
+    whose end the final watermark (max event ts - 1h) has passed, each
+    exactly once with its full count — batch 0 holds all on-time rows
+    (so on-time windows emit complete), batch 1's late rows land in
+    windows that had no batch-0 state and emit complete on the next
+    commit (Spark 4.1.2 file-source aggs don't drop below-watermark
+    input — dropping is documented best-effort — so no rows vanish).
+    Emission gating itself is additionally asserted by
+    tests/test_operators.py::test_j5_watermark_gates_append_emission.
     """
     return windowed_counts_with_watermark(spark, sf_dir, _tag(sf_dir))
 
 
-@query("j6_stream_dedup")  # rows-only: stateful streaming dedup
+@query(
+    "j6_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def j6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: dropDuplicatesWithinWatermark over overlapping micro-batches.
 
-    Rows-only driver check; authority: tests/test_operators.py::
-    test_j6_stream_dedup_matches_batch_distinct (stream survivors equal
-    the batch per-type counts despite 20% overlapping input files).
+    EXACT batch oracle: the two staged slices overlap 20% by event_id,
+    the 30-day watermark exceeds the whole event-time span, so every
+    duplicate arrival is within state lifetime and exactly one row per
+    event_id survives — per-type counts equal the batch GROUP BY.
+    Also asserted by tests/test_operators.py::
+    test_j6_stream_dedup_matches_batch_distinct.
     """
     return stream_dedup_within_watermark(spark, sf_dir, _tag(sf_dir))
 

@@ -106,10 +106,18 @@ def i3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_ORACLE = """
-    WITH t AS (
+    WITH t0 AS (
       SELECT DISTINCT doc_id, lang,
              UNNEST(STRING_SPLIT(text, ' ')) AS token
       FROM documents
+    ), bs AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM t0 GROUP BY lang
+    ), dfc AS (
+      SELECT lang, token, COUNT(*) AS df FROM t0 GROUP BY lang, token
+    ), t AS (
+      SELECT t0.doc_id, t0.lang, t0.token
+      FROM t0 JOIN dfc USING (lang, token) JOIN bs USING (lang)
+      WHERE dfc.df <= {max_df_frac} * bs.n_docs
     ), counts AS (
       SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id
     ), inter AS (
@@ -127,15 +135,19 @@ _JACCARD_ORACLE = """
 """
 
 
-@query("i4_jaccard_pairs", oracle=_JACCARD_ORACLE.format(tau=0.8))
+@query("i4_jaccard_pairs", oracle=_JACCARD_ORACLE.format(tau=0.8, max_df_frac=0.2))
 def i4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I4: n-gram (token-set) Jaccard near-dup pairs, blocked by lang.
+    """I4: n-gram (token-set) Jaccard near-dup pairs, blocked by lang,
+    with a document-frequency cap (tokens in > 20% of a block's docs are
+    dropped as stop words before set sizes are computed — the guard that
+    keeps the inverted-index join's fan-out sub-quadratic when a hot
+    token would otherwise pair every doc with every doc).
 
     Exact inverted-index self-join — the verifier stage; the LSH variant
     below is what runs first at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, threshold=0.8, block_col="lang")
+    return jaccard_pairs(d, threshold=0.8, block_col="lang", max_df_frac=0.2)
 
 
 #: DuckDB CTE body reproducing ``minhash_lsh_pairs`` (threshold 0.5,
@@ -484,13 +496,13 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LEN(text) AS BIGINT) AS n_chars_seen,
            ROUND(CAST(LEN(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                 / LEN(text), 6) AS alpha_ratio,
+                 / NULLIF(LEN(text), 0), 6) AS alpha_ratio,
            ROUND(CAST(LEN(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                 / LEN(text), 6) AS digit_ratio,
+                 / NULLIF(LEN(text), 0), 6) AS digit_ratio,
            ROUND(CAST(LEN(text) - LEN(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / LEN(text), 6) AS space_ratio,
+                 / NULLIF(LEN(text), 0), 6) AS space_ratio,
            ROUND(CAST(LEN(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                 / LEN(text), 6) AS other_ratio
+                 / NULLIF(LEN(text), 0), 6) AS other_ratio
     FROM documents
     """,
 )
@@ -505,7 +517,9 @@ def script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length("text")
 
     def ratio(kept):
-        return F.round(kept.cast("double") / n, 6)
+        # empty docs: NULL on both engines (NULLIF in the oracle; Spark's
+        # non-ANSI x/0 is NULL, but the explicit guard makes it contractual)
+        return F.round(F.when(n > 0, kept.cast("double") / n), 6)
 
     return d.select(
         "doc_id",

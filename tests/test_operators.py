@@ -177,17 +177,31 @@ def test_d8b_approx_percentile_near_exact(spark):
 
 
 def test_mm_resize_matches_python(spark):
-    """mm_resize is rows-only (binary output has no SQL oracle);
-    authority: each resized payload equals the Python truncate/zero-pad
-    of the document's utf-8 bytes at 8x8."""
-    out = QUERIES["mm_resize"](spark, SF_DIR).toPandas()
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+    """Byte-for-byte authority for the resize operator (the mm_resize
+    QUERY projects the binary down to its driver-checkable size contract,
+    so the payload equality is asserted here against the operator):
+    each resized payload equals the Python truncate/zero-pad of the
+    document's utf-8 bytes at 8x8."""
+    from etl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payloads,
+    )
+
+    docs_df = load_table(spark, SF_DIR, "documents")
+    out = resize_payloads(attach_binary_payload(docs_df), 8, 8).toPandas()
+    docs = docs_df.select("doc_id", "text").toPandas()
     by_id = dict(zip(out["doc_id"], out["resized"]))
     assert len(out) == len(docs)
     assert (out["width"] == 8).all() and (out["height"] == 8).all()
     for _, row in docs.iterrows():
         b = row["text"].encode("utf-8")[:64]
         assert bytes(by_id[row["doc_id"]]) == b + b"\x00" * (64 - len(b))
+    # and the query-level projection honors the same contract
+    q = QUERIES["mm_resize"](spark, SF_DIR).toPandas()
+    assert (q["resized_bytes"] == 64).all()
+    exp = docs["text"].str.encode("utf-8").str.len().clip(upper=64)
+    got = q.set_index("doc_id")["content_bytes"]
+    assert (got.loc[docs["doc_id"]].to_numpy() == exp.to_numpy()).all()
 
 
 def test_kmeans_inertia_monotone(spark):
