@@ -76,23 +76,56 @@ def main() -> None:
         timings[name] = round(warm, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_warm_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                # methodology stamped into the record so the number is
-                # only ever compared like-for-like (BASELINE.md's
-                # local[32] column uses the identical method, via
-                # tools/measure_baseline.py)
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "method": "3 runs per query in one session; min of runs 2-3",
-            }
-        )
-    )
+
+    # Scaling probe: re-run the set once at a 10x-smaller sf (when the
+    # sibling dir exists) and record t_big/t_small per query. With 10x
+    # the data, a linear operator stays well under ~10x (fixed overheads
+    # dominate the small run); a hidden quadratic shows up as an outlier
+    # ratio no plan-reading can miss. Skippable via SPARK_GRAFT_NO_SCALING
+    # to keep the bare headline run cheap.
+    scaling = None
+    small_dir = sf_dir.replace("sf0.1", "sf0.01")
+    if (
+        not os.environ.get("SPARK_GRAFT_NO_SCALING")
+        and small_dir != sf_dir
+        and os.path.isdir(small_dir)
+    ):
+        small: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            best = float("inf")
+            for i in range(2):  # cold + one warm
+                t0 = time.perf_counter()
+                fn(spark, small_dir).collect()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    best = min(best, dt)
+            small[name] = round(best, 4)
+            ratios[name] = round(timings[name] / best, 2) if best > 0 else -1.0
+        scaling = {
+            "small_sf": _sf_from_dir(small_dir),
+            "data_ratio": 10.0,
+            "small_sec": small,
+            "big_over_small": ratios,
+        }
+
+    record = {
+        "metric": "headline_query_set_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        # methodology stamped into the record so the number is
+        # only ever compared like-for-like (BASELINE.md's
+        # local[32] column uses the identical method, via
+        # tools/measure_baseline.py)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "method": "3 runs per query in one session; min of runs 2-3",
+    }
+    if scaling is not None:
+        record["scaling"] = scaling
+    print(json.dumps(record))
     spark.stop()
 
 

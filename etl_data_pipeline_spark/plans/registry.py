@@ -51,84 +51,24 @@ _PLAN_MODULES = [
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run
-#: (~50 entries checked in registration order). Round-3 rotation:
-#: the three round-2 FAILURES first (fixed this round — j4 NTZ cast,
-#: h5/h1c array-cell canonicalization), then every query that has never
-#: had a driver-side correctness row in r01/r02 (north-star curation /
-#: vector / text families first, then SQL surfaces, relational
-#: gap-fills, UDF/io legs). Names not listed keep registration order
-#: after these. Unknown names are ignored (defensive: a renamed query
-#: must not break loading).
+#: (~50 entries checked in registration order). Round-4 rotation:
+#: cumulative r01-r03 coverage left exactly 26 registered queries with
+#: no driver-side CORRECTNESS row (VERDICT.md round 3, "What's missing"
+#: item 1) — those 26 go first so the registry reaches 100%
+#: driver-checked, followed by queries whose code or oracle CHANGED
+#: this round (j5/j6/mm_resize rows-only -> exact, i4 df-cap, h1c
+#: null-contract, script_ratio guard) and the brand-new round-4
+#: queries. Names not listed keep registration order after these.
+#: Unknown names are ignored (defensive: a renamed query must not
+#: break loading).
 _PRIORITY = [
-    # round-2 failures, fixed in round 3
-    "j4_sessionization_metrics",
-    "h5_map_funcs",
-    "h1c_regexp_extract_all",
-    "h4b_array_setops",  # same array-cell hazard, fixed preemptively
-    # never driver-checked: north-star curation / dedup / vectors
-    "i6c_quantized_rerank",
-    "neardup_clusters",
-    "mixture_sample",
-    "pack_sequences",
-    "pack_greedy",
-    "redact_pii",
-    "simhash_neardup",
-    "decontaminate",
-    "frequent_ngrams",
-    "gopher_repetition",
-    "segment_dedup",
-    "global_shuffle",
-    "text_normalize",
-    "mixture_report",
-    "chunk_overlap",
-    "stratified_sample",
-    "pretrain_corpus",
-    "hash_split",
-    "corpus_curation",
-    "mm_features",
-    "mm_resize",
-    "mm_frame_sample",
-    # never driver-checked: time series / event analytics
-    "resample_ohlc",
-    "gap_fill_locf",
-    "daily_active_cumulative",
-    "funnel_conversion",
-    "anomaly_p95",
-    "rollup_reuse_daily_monthly",
-    "e5_running_distinct",
-    # never driver-checked: SQL surfaces
-    "sql_q6_revenue",
-    "sql_correlated_subquery",
-    "sql_exists_subquery",
-    "sql_nested_agg_subquery",
-    "sql_recursive_cte",
-    "sql_lateral_topk",
-    "sql_group_by_all",
-    # never driver-checked: relational gap-fills
-    "c2_right_join",
-    "c9_nullsafe_join",
-    "c10_null_aware_anti",
-    "c4b_shuffle_hash_hint",
-    "g1c_union_missing_cols",
-    "g2b_setops_all",
-    "e1b_percent_rank",
-    "e1c_ntile",
-    "e3b_interval_frame",
-    "d7b_string_agg",
-    "d9_mode_bool_agg",
-    "d10_bitwise_agg",
-    "b5b_try_cast",
-    "f3_pagination",
-    "skew_salted_join",
-    "bucketed_join",
-    "incremental_merge",
-    # never driver-checked: modern Spark-4 / UDF / io surfaces
-    "h7_variant",
-    "h8_xml_extract",
-    "k5_arrow_udf",
-    "k6_map_in_arrow",
-    "k7_cogroup_asof",
-    "k8_grouped_agg_udaf",
+    # -- the 26 never-driver-checked (r01-r03) --------------------------
+    # round-3 post-run stragglers
+    "c8b_asof_forward",
+    "interval_overlap_join",
+    "script_ratio",
+    "unigram_lm_score",
+    # io tail
     "a9_python_datasource",
     "a10_orc_roundtrip",
     "a11_text_roundtrip",
@@ -136,8 +76,36 @@ _PRIORITY = [
     "a13_compact_small_files",
     "a14_clustered_layout",
     "a15_file_lineage",
+    # relational / etl tail
+    "b5b_try_cast",
+    "bucketed_join",
+    "skew_salted_join",
+    "incremental_merge",
+    "d9_mode_bool_agg",
+    "d10_bitwise_agg",
+    "f3_pagination",
+    # modern Spark-4 / UDF / streaming tail
+    "h7_variant",
+    "h8_xml_extract",
     "j8_foreach_batch_sink",
     "j9_stream_stream_join",
+    "k5_arrow_udf",
+    "k6_map_in_arrow",
+    "k7_cogroup_asof",
+    "k8_grouped_agg_udaf",
+    # -- changed this round (need fresh evidence) -----------------------
+    "j5_stream_watermark",
+    "j6_stream_dedup",
+    "mm_resize",
+    "i4_jaccard_pairs",
+    "h1c_regexp_extract_all",
+    # -- new in round 4 -------------------------------------------------
+    "mm_decode_image",
+    "mm_decode_audio",
+    "mm_decode_video",
+    "dpp_partition_pruned_join",
+    "pmi_bigrams",
+    "vector_centroids",
 ]
 
 _loaded = False

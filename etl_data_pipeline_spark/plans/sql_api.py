@@ -258,3 +258,65 @@ def c4b_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dec_sum(F.col("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS ym,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m')
+          IN ('1995-01', '1995-02', '1996-06')
+    GROUP BY 1, 2
+    """,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by month (``ym=YYYY-MM`` directories — the standard date-partitioned
+    lake layout), and the query joins it to a small filtered dim of
+    selected months. Catalyst inserts a runtime subquery filter on the
+    PARTITION column, so only the 3 matching month directories are read
+    — at 100 TB this is the difference between scanning 3 partitions and
+    scanning ~80. tests/test_plans.py asserts the physical plan carries
+    ``dynamicpruning``/PartitionFilters on the scan.
+
+    The oracle is the equivalent plain filter+agg over orders (pruning
+    must be result-invariant).
+    """
+    from etl_data_pipeline_spark.functions.canonical import dec_sum
+
+    t = _tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"orders_bymonth_{t}")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "ym", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        o.write.mode("overwrite").partitionBy("ym").parquet(base)
+    fact = spark.read.parquet(base)
+    # A month-dim with a SELECTIVE FILTER on the build side — DPP's
+    # pruning-benefit heuristic requires a filter predicate there (a bare
+    # 3-row literal dim joins fine but does not trigger the runtime
+    # subquery; verified against the physical plan).
+    picked = {"1995-01", "1995-02", "1996-06"}
+    rows = [
+        (f"{y}-{m:02d}", 1 if f"{y}-{m:02d}" in picked else 0)
+        for y in (1994, 1995, 1996, 1997)
+        for m in range(1, 13)
+    ]
+    months = spark.createDataFrame(rows, ["ym", "pick"]).filter(
+        F.col("pick") == 1
+    ).select("ym")
+    joined = fact.join(months, "ym")  # broadcast + DPP subquery on ym
+    return joined.groupBy("ym", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), 2).alias("total"),
+    ).select(
+        F.col("ym").alias("ym"),
+        "o_orderpriority",
+        "n_orders",
+        "total",
+    )

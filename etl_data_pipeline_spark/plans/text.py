@@ -533,3 +533,82 @@ def script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_ratio"
         ),
     )
+
+
+@query(
+    "pmi_bigrams",
+    oracle=_TOKENS_CTE
+    + """
+    , arr AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents
+    ), bi AS (
+      SELECT UNNEST(a[:-2]) AS w1, UNNEST(a[2:]) AS w2 FROM arr
+    ), bic AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY w1, w2
+    ), uni AS (
+      SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM toks) AS n_tok,
+             (SELECT COUNT(*) FROM bi) AS n_bi
+    )
+    SELECT b.w1, b.w2, b.c_ab,
+           ROUND(LN((CAST(b.c_ab AS DOUBLE) * t.n_tok * t.n_tok)
+                    / (CAST(t.n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM bic b
+    JOIN uni u1 ON u1.token = b.w1
+    JOIN uni u2 ON u2.token = b.w2
+    CROSS JOIN tot t
+    WHERE b.c_ab >= 5
+    """,
+)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs — PMI(a,b) = ln(p(ab) / (p(a)p(b))) with bigram and unigram
+    probabilities from the same corpus; the standard phrase-detection
+    signal (word2vec's phrase pass, quality filters' "glued boilerplate"
+    detector). Only pairs seen >= 5 times are emitted.
+
+    Scale: bigrams come from a zip of the token array with its shift
+    (slice+arrays_zip, pure codegen — no self-join); unigram counts and
+    the two corpus totals are broadcast back onto the bigram counts
+    (vocab is Zipf-bounded at any corpus size, same posture as
+    unigram_lm_score). Two shuffles total (bigram groupBy, unigram
+    groupBy); all math is integer counts into one double expression with
+    matching association order on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arr = d.select(F.split("text", " ").alias("a"))
+    bi = arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("a"), 1, F.size("a") - 1),
+                F.slice(F.col("a"), 2, F.size("a") - 1),
+            )
+        ).alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    toks = tokens(d).select("token")
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bic.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_bi").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

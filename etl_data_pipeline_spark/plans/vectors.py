@@ -380,3 +380,54 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inertia non-increasing across iterations, no empty clusters)."""
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_iterations(e, k=8, iters=3)
+
+
+@query(
+    "vector_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             UNNEST(embedding) AS v,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vecs,
+           SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0) AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+)
+def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector AGGREGATION (the counterpart of i8's classify-to-given-
+    centroids): per-label mean embedding via posexplode -> grid-sum.
+    Components are floored to 1e-6 integer units before summing
+    (functions/canonical.py discipline), so the per-dimension totals are
+    exact integers — deterministic cross-engine and across any partition
+    / accumulation order, which a naive float sum is not.
+
+    Scale: one shuffle on (label, dim) — 64*k cells regardless of row
+    count; partial aggregation does the heavy lifting map-side. This is
+    the building block k-means/centroid-classify consume upstream.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.select(
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("g"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("g").alias("s"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            # no ROUND: integer grid-sum / integer count is one IEEE
+            # division, bitwise identical cross-engine; rounding would
+            # reintroduce half-way ties that the two engines break
+            # differently.
+            (F.col("s") / (F.col("n_vecs") * F.lit(1000000.0))).alias("centroid"),
+        )
+    )
