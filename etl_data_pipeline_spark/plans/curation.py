@@ -833,3 +833,143 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
     )
+
+
+@query(
+    "incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT SHA256(text) AS content_hash
+      FROM documents WHERE doc_id % 5 != 0
+    ), batch AS (
+      SELECT doc_id, SHA256(text) AS content_hash
+      FROM documents WHERE doc_id % 5 = 0
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_in_batch
+      FROM batch GROUP BY content_hash
+    )
+    SELECT k.doc_id, k.content_hash, k.n_in_batch
+    FROM keep k LEFT JOIN corpus c USING (content_hash)
+    WHERE c.content_hash IS NULL
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the production shape for a corpus
+    that grows daily: dedup the NEW batch (doc_id % 5 == 0 stands in for
+    today's crawl) first within itself (keep-min survivor) and then
+    against the EXISTING corpus (everything else) by content hash,
+    WITHOUT reprocessing the corpus — only its hash column is read.
+
+    Scale: the corpus side projects to a single 32-byte hash column
+    (scan-pruned, verified by ReadSchema), the anti-join shuffles on the
+    hash — both sides uniformly distributed by construction, no skew.
+    At 100 TB the corpus hash set lives as its own compact table
+    maintained incrementally; this query is one day's merge step.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.sha2("text", 256).alias("content_hash"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    keep = batch.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )
+    return keep.join(corpus, "content_hash", "left_anti").select(
+        "doc_id", "content_hash", "n_in_batch"
+    )
+
+
+_PAGERANK_ITER = """
+    , g{k} AS (
+      SELECT e.v AS u,
+             base.b + SUM(CAST(FLOOR(0.85 * g{p}.g / deg.deg) AS BIGINT)) AS g
+      FROM edges e
+      JOIN g{p} ON g{p}.u = e.u
+      JOIN deg ON deg.u = e.u
+      CROSS JOIN base
+      GROUP BY e.v, base.b
+    )
+"""
+
+
+@query(
+    "pagerank_neardup",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """
+    , edges AS (
+      SELECT a AS u, b AS v FROM lsh_pairs
+      UNION ALL
+      SELECT b AS u, a AS v FROM lsh_pairs
+    ), deg AS (
+      SELECT u, COUNT(*) AS deg FROM edges GROUP BY u
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), g0 AS (
+      SELECT u, CAST(FLOOR(1000000000000.0 / nn.n) AS BIGINT) AS g
+      FROM deg, nn
+    ), base AS (
+      SELECT CAST(FLOOR(150000000000.0 / n) AS BIGINT) AS b FROM nn
+    )
+    """
+    + _PAGERANK_ITER.format(k=1, p=0)
+    + _PAGERANK_ITER.format(k=2, p=1)
+    + _PAGERANK_ITER.format(k=3, p=2)
+    + """
+    SELECT u AS doc_id, ROUND(g / 1000000000000.0, 6) AS pagerank
+    FROM g3
+    """,
+)
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the undirected near-dup LSH
+    pair graph — ranks the 'hub' documents inside duplicate
+    neighborhoods (the ones to keep or to blame for template spam).
+    Demonstrates the iterative-algorithm shape with EXACT cross-engine
+    math: ranks live as 1e-12 integer grid units, each edge contribution
+    is floored BEFORE the receiving-side sum, so every iteration is an
+    integer aggregation — order-independent and bitwise reproducible;
+    the oracle unrolls the same three iterations as chained CTEs.
+
+    Scale: per iteration one join (edges x ranks, both partitioned by u)
+    + one shuffle on v; degrees and ranks are (node_id, long) pairs. The
+    driver holds only N (a scalar, kmeans-loop precedent); lineage stays
+    3 plans deep — localCheckpoint if iterations grow.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+    edges = pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    edges = edges.localCheckpoint()  # pairs are reused 3x; cut the LSH lineage
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    import math
+
+    init = int(math.floor(1_000_000_000_000.0 / n))
+    base = int(math.floor(150_000_000_000.0 / n))
+    g = deg.select("u", F.lit(init).cast("long").alias("g"))
+    for _ in range(3):
+        contrib = (
+            edges.join(g, "u")
+            .join(deg, "u")
+            .select(
+                "v",
+                F.floor(F.lit(0.85) * F.col("g") / F.col("deg"))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        g = contrib.groupBy(F.col("v").alias("u")).agg(
+            (F.sum("c") + F.lit(base)).alias("g")
+        )
+    return g.select(
+        F.col("u").alias("doc_id"),
+        F.round(F.col("g") / F.lit(1_000_000_000_000.0), 6).alias("pagerank"),
+    )

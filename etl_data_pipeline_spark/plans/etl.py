@@ -871,3 +871,74 @@ def e1c_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column completeness/cardinality/range summary
+    (the ingest-time audit every warehouse runs before accepting a drop).
+    Long output: (col, n, n_null, n_distinct, min_s, max_s).
+
+    ONE scan: all 25 aggregates are computed in a single agg pass (Spark
+    evaluates them together with partial aggregation map-side), then the
+    1-row wide result is unpivoted to long with stack() — no per-column
+    re-scan, unlike the naive UNION ALL the oracle states. Ranges cross
+    the oracle boundary as strings (timestamp/int formatting is
+    byte-identical; doubles are excluded from profiling for exactly that
+    reason — shortest-repr differs at the edges).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_s"),
+            F.max(c).cast("string").alias(f"{c}__max_s"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min_s, {c}__max_s"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_s, max_s)"
+    )

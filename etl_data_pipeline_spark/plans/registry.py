@@ -106,6 +106,12 @@ _PRIORITY = [
     "dpp_partition_pruned_join",
     "pmi_bigrams",
     "vector_centroids",
+    "incremental_dedup",
+    "profile_table",
+    "source_kl_divergence",
+    "pagerank_neardup",
+    "runtime_bloom_join",
+    "embedding_clip_stats",
 ]
 
 _loaded = False

@@ -320,3 +320,66 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total",
     )
+
+
+@query(
+    "runtime_bloom_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderstatus
+    """,
+)
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join reduction — DPP's sibling for
+    NON-partition columns: Catalyst builds a bloom filter from the
+    filtered dim side's join keys at runtime and injects
+    ``might_contain`` onto the fact scan, so most non-matching fact rows
+    die at the scan instead of crossing the shuffle. At 100 TB with a
+    selective dim filter this cuts the shuffled fact volume ~4x here
+    (1 of 4 priorities) and more the more selective the filter.
+    tests/test_plans.py asserts the injected filter; the bloom is
+    result-invariant (false positives are removed by the exact join),
+    which the plain-join oracle proves.
+
+    The thresholds are session-scoped and restored: creation-side must
+    admit the small local dim; the application-side scan-size floor is
+    0 because local test files are far below the 10 GB cluster default.
+    """
+    from etl_data_pipeline_spark.functions.canonical import dec_sum
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", "o_orderstatus")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice"), 2).alias("total"),
+        )
+        # materialize the plan under these confs (the confs are read at
+        # analysis/optimization time; the returned DF keeps its plan)
+        out.collect()
+        return out
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

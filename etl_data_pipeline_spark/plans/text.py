@@ -612,3 +612,76 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "source_kl_divergence",
+    oracle=_TOKENS_CTE
+    + """
+    , st AS (
+      SELECT source, token, COUNT(*) AS c_st FROM toks GROUP BY source, token
+    ), s AS (
+      SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source
+    ), t AS (
+      SELECT token, SUM(c_st) AS c_t FROM st GROUP BY token
+    ), tot AS (
+      SELECT SUM(c_st) AS n_tot FROM st
+    ), contrib AS (
+      SELECT st.source,
+             CAST(FLOOR((CAST(st.c_st AS DOUBLE) / s.n_s)
+                        * LN((CAST(st.c_st AS DOUBLE) * tot.n_tot)
+                             / (CAST(s.n_s AS DOUBLE) * t.c_t))
+                        * 1000000000000) AS BIGINT) AS g
+      FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN tot
+    )
+    SELECT c.source, CAST(s.n_s AS BIGINT) AS n_tokens,
+           ROUND(SUM(g) / 1000000000000.0, 6) AS kl_nats
+    FROM contrib c JOIN s ON s.source = c.source
+    GROUP BY c.source, s.n_s
+    """,
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift metric: KL(P_source || P_corpus) over the unigram
+    distributions — the standard detector for a source whose vocabulary
+    diverges from the mixture (crawl drift, template spam, wrong-language
+    shards). KL = sum_t p_s(t) ln(p_s(t)/p(t)).
+
+    Determinism: each term's double contribution is floored to 1e-12
+    grid units BEFORE summation, so the cross-source totals are integer
+    sums (order-independent, cross-engine exact even though LN itself
+    may differ in the last ulp — a 1-unit grid wobble is 1e-12, far
+    inside the final 1e-6 rounding).
+
+    Scale: two shuffles ((source, token) counts, then per-source sum);
+    token totals and corpus total broadcast back (Zipf-bounded vocab).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(d).select("source", "token")
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").alias("n_tot"))
+    contrib = (
+        st.join(F.broadcast(s), "source")
+        .join(F.broadcast(t), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.floor(
+                (F.col("c_st").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st").cast("double") * F.col("n_tot"))
+                    / (F.col("n_s").cast("double") * F.col("c_t"))
+                )
+                * 1000000000000
+            )
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    return contrib.groupBy("source", "n_s").agg(
+        F.round(F.sum("g") / F.lit(1000000000000.0), 6).alias("kl_nats")
+    ).select(
+        "source", F.col("n_s").cast("long").alias("n_tokens"), "kl_nats"
+    )

@@ -431,3 +431,64 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") / (F.col("n_vecs") * F.lit(1000000.0))).alias("centroid"),
         )
     )
+
+
+@query(
+    "embedding_clip_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT UNNEST(embedding) AS v,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+      FROM embeddings
+    ), q AS (
+      SELECT dim,
+             QUANTILE_CONT(CAST(v AS DOUBLE), 0.01) AS p01,
+             QUANTILE_CONT(CAST(v AS DOUBLE), 0.99) AS p99
+      FROM ex GROUP BY dim
+    )
+    SELECT e.dim,
+           ROUND(q.p01, 6) AS p01,
+           ROUND(q.p99, 6) AS p99,
+           COUNT(*) FILTER (WHERE CAST(e.v AS DOUBLE) < q.p01
+                               OR CAST(e.v AS DOUBLE) > q.p99) AS n_clipped
+    FROM ex e JOIN q USING (dim)
+    GROUP BY e.dim, q.p01, q.p99
+    """,
+)
+def embedding_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing: per-dimension p01/p99 outlier bounds and
+    the count of components each would clip — the calibration pass run
+    before int8 quantization (i6c) so a single outlier doesn't stretch
+    a dimension's quantization range 10x.
+
+    Two stages over the exploded components: exact percentile per dim
+    (64 groups — the agg state is 64 sort buffers regardless of row
+    count... at true 100 TB swap the exact percentile for
+    approx_percentile and this stays one pass), then bounds joined back
+    (broadcast — 64 rows) for the clip count. Exact linear-interpolation
+    percentiles match QUANTILE_CONT cross-engine (d8 precedent).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    q = ex.groupBy("dim").agg(
+        F.percentile("v", F.lit(0.01)).alias("p01_raw"),
+        F.percentile("v", F.lit(0.99)).alias("p99_raw"),
+    )
+    return (
+        ex.join(F.broadcast(q), "dim")
+        .groupBy("dim", "p01_raw", "p99_raw")
+        .agg(
+            F.count(
+                F.when((F.col("v") < F.col("p01_raw")) | (F.col("v") > F.col("p99_raw")), 1)
+            ).alias("n_clipped")
+        )
+        .select(
+            "dim",
+            F.round("p01_raw", 6).alias("p01"),
+            F.round("p99_raw", 6).alias("p99"),
+            "n_clipped",
+        )
+    )

@@ -271,3 +271,12 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """runtime_bloom_join must carry Catalyst's injected runtime filter
+    (might_contain / bloom_filter) on the fact side — the non-partition
+    sibling of DPP that prunes shuffled fact rows at the scan."""
+    plan = plan_of(spark, "runtime_bloom_join")
+    p = plan.lower()
+    assert "might_contain" in p or "bloomfilter" in p, plan
