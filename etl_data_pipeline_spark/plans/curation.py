@@ -936,9 +936,16 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle unrolls the same three iterations as chained CTEs.
 
     Scale: per iteration one join (edges x ranks, both partitioned by u)
-    + one shuffle on v; degrees and ranks are (node_id, long) pairs. The
-    driver holds only N (a scalar, kmeans-loop precedent); lineage stays
-    3 plans deep — localCheckpoint if iterations grow.
+    + one shuffle on v; degrees and ranks are (node_id, long) pairs;
+    edges/deg/ranks are localCheckpointed so each iteration's lineage is
+    flat (without it, pass k re-executes passes 1..k-1 — measured 35 s
+    vs ~LSH-cost at sf0.1). The driver holds only N (a scalar,
+    kmeans-loop precedent). Graph DENSITY is data-driven: this corpus is
+    template-heavy (sf0.1: 5k docs -> 5.7M verified near-dup pairs), so
+    the edge list, not the algorithm, is the big object; at 100 TB the
+    standard guard is capping LSH band-bucket size (oversized buckets =
+    boilerplate, diverted to exact-dedup handling) before pair
+    expansion.
     """
     d = load_table(spark, sf_dir, "documents")
     from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
@@ -949,6 +956,7 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
     edges = edges.localCheckpoint()  # pairs are reused 3x; cut the LSH lineage
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint()
     n = deg.count()
     import math
 
@@ -969,6 +977,11 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = contrib.groupBy(F.col("v").alias("u")).agg(
             (F.sum("c") + F.lit(base)).alias("g")
         )
+        # eager checkpoint per iteration: without it each pass re-executes
+        # every earlier pass (lineage doubles per iteration — measured
+        # 35 s at sf0.1; flat lineage brings it to one LSH + 3 join/agg
+        # rounds). Same discipline as neardup_clusters' propagation loop.
+        g = g.localCheckpoint()
     return g.select(
         F.col("u").alias("doc_id"),
         F.round(F.col("g") / F.lit(1_000_000_000_000.0), 6).alias("pagerank"),

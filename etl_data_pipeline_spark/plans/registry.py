@@ -112,6 +112,7 @@ _PRIORITY = [
     "pagerank_neardup",
     "runtime_bloom_join",
     "embedding_clip_stats",
+    "j10_stream_session_windows",
 ]
 
 _loaded = False

@@ -1,4 +1,4 @@
-"""Streaming queries (J5-J9) — ALL with exact DuckDB oracles: each
+"""Streaming queries (J5-J10) — ALL with exact DuckDB oracles: each
 output is a deterministic function of the staged event files (watermark
 gating, dedup survivors, state snapshots, sink contents, join pairs),
 so the equivalent batch SQL is an exact hash-checkable oracle; the same
@@ -140,3 +140,53 @@ def j9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.streaming.jobs import stream_stream_join
 
     return stream_stream_join(spark, sf_dir, _tag(sf_dir))
+
+
+@query(
+    "j10_stream_session_windows",
+    oracle="""
+    WITH kept AS (
+      SELECT user_id, ts FROM events
+      WHERE ts <  TIMESTAMP '2024-01-05 00:00:00'
+         OR ts >= TIMESTAMP '2024-01-12 00:00:00'
+    ), lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    ), bounds AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events
+      WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+    )
+    SELECT user_id, CAST(s_start AS VARCHAR) AS session_start, n_events
+    FROM bounds, wm
+    WHERE s_end + INTERVAL 30 MINUTE <= wm.w
+    """,
+)
+def j10_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: native streaming session windows (``session_window``, 30-min
+    gap, per-user) in append mode over two real micro-batches.
+
+    EXACT batch oracle: the staged slices are separated by a 7-day dead
+    band so no session straddles the batch boundary (a late event can
+    never reopen an emitted session), making the stream output equal
+    batch sessionization of the kept events gated on the final watermark
+    — sessions whose end (last event + gap, half-open: an event exactly
+    gap-after starts a NEW session, hence >= in the oracle's break
+    condition) the watermark passed. See
+    streaming/jobs.py::stream_session_windows.
+    """
+    from etl_data_pipeline_spark.streaming.jobs import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir, _tag(sf_dir))

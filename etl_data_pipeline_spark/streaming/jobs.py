@@ -246,3 +246,45 @@ def stream_stream_join(
     ).select("user_id", "click_ts", "view_ts")
     emitted = _run_to_memory(joined, _unique("j9_join"), "append")
     return emitted.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J10: native streaming SESSION windows — ``session_window`` with a
+    30-minute gap per user, 1-hour watermark, append mode, over two real
+    micro-batches (on-time slice then a far-late slice).
+
+    Staging is session-safe by construction: the slices are separated by
+    a 7-day DEAD BAND (events in [2024-01-05, 2024-01-12) are excluded
+    entirely), so no 30-minute session can straddle the batch boundary —
+    a late event can therefore never extend a session that append mode
+    already emitted, and the stream's output is exactly the batch
+    sessionization of the kept events, gated on the final watermark
+    (sessions with end = last_ts + gap <= max(on-time ts) - 1h emit;
+    later ones are held in state). Returns (user_id, session_start
+    string, n_events).
+    """
+    staged_dir = os.path.join(scratch_dir, "j10")
+    ev = load_table(spark, sf_dir, "events")
+    on_time = ev.filter(F.col("ts") >= "2024-01-12 00:00:00")
+    late = ev.filter(F.col("ts") < "2024-01-05 00:00:00")
+    b0 = os.path.join(staged_dir, "batch=0")
+    b1 = os.path.join(staged_dir, "batch=1")
+    on_time.coalesce(1).write.mode("overwrite").parquet(b0)
+    late.coalesce(1).write.mode("overwrite").parquet(b1)
+    stream = _read_staged_stream(spark, staged_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, _unique("j10_sessions"), "append")
