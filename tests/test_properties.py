@@ -89,3 +89,76 @@ def test_window_rank_is_permutation(spark, rows):
 def test_union_all_count_additive(spark, rows, rows2):
     a, b = _df(spark, rows), _df(spark, rows2)
     assert a.unionByName(b).count() == a.count() + b.count()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal codec properties (pure Python/numpy — no Spark, so not SLOW):
+# encode->decode must be the identity for arbitrary content, dims, rates.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.binary(min_size=1, max_size=512),
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+)
+def test_ppm_roundtrip_property(data, w, h):
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    img = decode_image(encode_ppm(data, w, h))
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    n = w * h * 3
+    want = bytes((data * (n // len(data) + 1))[:n])
+    assert img.tobytes() == want
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    sig = np.array(samples, dtype=np.int16)
+    got_rate, ch, out = decode_audio(encode_wav(sig, rate))
+    assert (got_rate, ch) == (rate, 1)
+    assert np.array_equal(out, sig)
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=12),
+    every_n=st.integers(min_value=1, max_value=5),
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_y4m_sampling_property(n_frames, every_n, w, h, seed):
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(seed)
+    planes = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    sampled = sample_video_frames(encode_y4m(planes, w, h), every_n=every_n)
+    want_idx = list(range(0, n_frames, every_n))
+    assert len(sampled) == len(want_idx)
+    for got, i in zip(sampled, want_idx):
+        assert np.array_equal(got, planes[i])
