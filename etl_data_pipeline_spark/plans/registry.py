@@ -113,6 +113,8 @@ _PRIORITY = [
     "runtime_bloom_join",
     "embedding_clip_stats",
     "j10_stream_session_windows",
+    "rolling_median",
+    "trend_slope",
 ]
 
 _loaded = False

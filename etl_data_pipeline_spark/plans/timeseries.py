@@ -409,3 +409,106 @@ def rollup_reuse_daily_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@query(
+    "rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           QUANTILE_CONT(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS med5
+    FROM events
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of each user's last 5 event values — the
+    robust-smoothing pass (median beats mean under spiky telemetry) that
+    rolling-mean frames (e3) can't express. Exact percentile as a WINDOW
+    aggregate: the frame holds <= 5 values, so the per-row sort is O(5)
+    — constant state per row at any table size, shuffled once on
+    user_id. (ts, event_id) ordering is a total order, so frames are
+    identical cross-engine; the 2-value interpolation (a+b)/2 is one
+    IEEE op, deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("med5"),
+    )
+
+
+@query(
+    "trend_slope",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+               - MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id) AS x,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
+             AS slope_micro_per_sec
+    FROM s
+    """,
+)
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trend detection: ordinary-least-squares slope of each
+    user's event value over time — slope = (nSxy - SxSy)/(nSxx - Sx^2).
+
+    Exactness: x is whole seconds REBASED to the user's first event
+    (bounded ~2.6e6 for a month), y is the 1e-6 value grid — so every
+    per-row product fits a 64-bit long and the four sums run as
+    DECIMAL(38,0)/HUGEINT: all integer algebra until one final
+    double division (NULLIF-guarded for single-instant users), rounded
+    to 1e-6 — required because DuckDB's HUGEINT->DOUBLE cast does not
+    round-to-nearest like Java's BigDecimal.doubleValue (verified: one
+    ulp apart at the 16th significant digit), so the raw quotients can
+    differ in the last place. One shuffle on user_id (the rebase min()
+    is a window over the same partitioning the aggregate reuses).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.min(F.unix_timestamp("ts")).over(w)
+        ).alias("x"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(
+            "slope_micro_per_sec"
+        ),
+    )
