@@ -11,8 +11,10 @@ stamped into the emitted JSON.
 
 Comparability note vs BASELINE.md: the engine's formulations carry
 oracle-parity costs the baseline's plain formulations skip — q1's money
-aggregates run as DECIMAL(38,s) sums (deterministic cross-engine, ~2x a
-double sum), distinct_agg computes THREE exact distincts (baseline: one
+aggregates run as exact integer-cent sums with a hi/lo long split
+(functions/canonical.py — deterministic cross-engine at codegen speed,
+cheaper than DECIMAL but still ~1.2x a plain double sum), distinct_agg
+computes THREE exact distincts (baseline: one
 exact + one approx), window_rank evaluates four ranking functions
 (baseline: row_number only).  cosine_topk is the numpy mapInPandas kernel
 (the BASELINE number is the naive per-pair formulation, kept as

@@ -1,12 +1,16 @@
 """Multimodal column operators (north star: image/audio/video as opaque
 binary columns with typed metadata).
 
-The container has no image/audio libraries, so the DECODE step is a
-clearly-marked stub (``NotImplementedError``) with a deterministic fake
-used by tests — but the Spark-side plumbing is real and tested: binary
-payload columns, a typed metadata struct, Arrow-batched ``mapInPandas``
-feature extraction with a declared output schema, partition-preserving
-batch shapes.
+The decoders are REAL parsers for the public formats that need no
+external libraries: PNM images (PPM P6 / PGM P5 — header parse + numpy
+reshape), RIFF WAV PCM16 (chunk walk + frombuffer), and Y4M video
+(stream header + FRAME markers). Formats that genuinely require
+PIL/soundfile/pyav (JPEG/PNG/MP3/MP4 — absent in this container) raise
+``NotImplementedError`` via magic-byte dispatch instead of mis-parsing.
+The Spark-side plumbing is shared and tested: binary payload columns, a
+typed metadata struct, Arrow-batched ``mapInPandas`` with declared
+output schemas, partition-preserving (or declared one-to-many) batch
+shapes.
 
 At 100 TB: payloads live in parquet binary columns (or object-store URIs
 for >2 GB blobs); decode/feature-extract runs as mapInPandas so each

@@ -32,11 +32,12 @@ from etl_data_pipeline_spark.plans.registry import query
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary payload + metadata struct -> mapInPandas feature
-    extraction (deterministic stub decode; real decoders are
-    NotImplementedError until the image/audio libs exist — the Spark
-    plumbing here is the tested part). The checksum column is excluded
-    from the oracle (iterative hash isn't SQL-expressible) and verified
-    by the in-repo unit test instead."""
+    extraction. The per-payload stats here are a deterministic format-
+    agnostic stand-in body (byte stats + rolling checksum); the REAL
+    format decoders live beside it in operators/multimodal.py and are
+    exercised by the mm_decode_image/audio/video queries. The checksum
+    column is excluded from the oracle (iterative hash isn't
+    SQL-expressible) and verified by the in-repo unit test instead."""
     d = load_table(spark, sf_dir, "documents")
     mm = attach_binary_payload(d)
     return extract_features(mm).select(

@@ -115,6 +115,7 @@ _PRIORITY = [
     "j10_stream_session_windows",
     "rolling_median",
     "trend_slope",
+    "a16_fixed_width",
 ]
 
 _loaded = False
