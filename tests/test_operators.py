@@ -1,6 +1,7 @@
-"""Semantic assertions for operators whose driver check is rows-only
-(no SQL oracle): streaming watermark/dedup, approx sketches, ANN recall,
-multimodal checksum. Each is checked against an exact batch computation.
+"""Semantic authority tests: exact batch assertions for operators whose
+driver check is rows-only (approx sketches, iterative kmeans), plus
+belt-and-braces batch cross-checks for operators that ALSO carry exact
+oracles (streaming watermark/dedup, multimodal codecs, ANN recall).
 """
 
 from __future__ import annotations
@@ -139,9 +140,9 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_h5_map_extract_matches_plain_agg(spark):
-    """h5_map_funcs is rows-only (map layout is engine-specific); this is
-    its exact-semantics authority: every scalar extracted FROM the map
-    must equal the same scalar computed by a plain aggregation."""
+    """h5_map_funcs' map-typed intermediates are scalarized for its
+    oracle (driver-green since r3); this authority additionally checks
+    every scalar extracted FROM the map against a plain aggregation."""
     out = QUERIES["h5_map_funcs"](spark, SF_DIR).toPandas()
     ev = load_table(spark, SF_DIR, "events")
     plain = (
