@@ -399,3 +399,45 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_peak_hours", F.lit(0)).alias("n_peak_hours"),
         )
     )
+
+
+@query(
+    "event_debounce",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts,
+                           event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, CAST(ts AS VARCHAR) AS ts_s
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 SECOND
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: drop repeats of the same (user, event_type)
+    arriving within 5 seconds of the previous KEPT-OR-DROPPED event —
+    the lag-based approximation (each event compares to its immediate
+    predecessor), which is the one-pass windowed form every pipeline
+    uses; true chain-debounce needs sessionization (j3) when bursts
+    exceed the tolerance.
+
+    One shuffle on (user_id, event_type); the window frame is a single
+    LAG — constant state per row at any scale. (ts, event_id) is a
+    total order so both engines pick identical predecessors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    return lagged.filter(
+        F.col("prev_ts").isNull()
+        # micros, not cast("long") seconds: truncated-second differences
+        # disagree with the oracle's INTERVAL compare on sub-second data
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= 5_000_000)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("string").alias("ts_s"),
+    )

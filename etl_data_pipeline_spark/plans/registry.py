@@ -116,6 +116,9 @@ _PRIORITY = [
     "rolling_median",
     "trend_slope",
     "a16_fixed_width",
+    "event_debounce",
+    "pareto_abc",
+    "j11_stream_update_counts",
 ]
 
 _loaded = False

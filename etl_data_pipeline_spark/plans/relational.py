@@ -1337,3 +1337,68 @@ def c10_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR o_orderpriority LIKE '1%')
         """
     )
+
+
+@query(
+    "pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT SUM(r) AS t FROM rev
+    ), ranked AS (
+      SELECT l_partkey,
+             CAST(r AS DOUBLE) AS revenue,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(t AS DOUBLE) AS cum_share
+      FROM rev, tot
+    )
+    SELECT l_partkey, revenue,
+           ROUND(cum_share, 6) AS cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: parts ranked by revenue with cumulative
+    revenue share, classed A (first 80% of spend), B (to 95%), C (tail)
+    — the inventory-prioritization report every warehouse runs.
+
+    Exactness: per-part revenue and the RUNNING total are DECIMAL(38,2)
+    (exact at any row count), so the cumulative share is one exact-
+    decimal-to-double division per row — same value both engines; the
+    class boundaries compare that deterministic double. (revenue DESC,
+    partkey) is a total order. The running sum is a single-partition
+    window over the AGGREGATED per-part rows (|parts| << |lineitem|) —
+    at 100 TB do it range-partitioned (global_shuffle's two-phase rank
+    pattern) instead of one partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("r").cast("double").alias("revenue"),
+        (F.sum("r").over(w).cast("double") / F.col("t").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.round("cum_share", 6).alias("cum_share"),
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -1,4 +1,4 @@
-"""Streaming queries (J5-J10) — ALL with exact DuckDB oracles: each
+"""Streaming queries (J5-J11) — ALL with exact DuckDB oracles: each
 output is a deterministic function of the staged event files (watermark
 gating, dedup survivors, state snapshots, sink contents, join pairs),
 so the equivalent batch SQL is an exact hash-checkable oracle; the same
@@ -190,3 +190,22 @@ def j10_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.streaming.jobs import stream_session_windows
 
     return stream_session_windows(spark, sf_dir, _tag(sf_dir))
+
+
+@query(
+    "j11_stream_update_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def j11_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: update output mode (completing the append/complete/update
+    triad): per-type counts re-emitted on every micro-batch that changes
+    them; the max emission per key is the final state and equals the
+    batch aggregate exactly. See
+    streaming/jobs.py::stream_update_mode_counts.
+    """
+    from etl_data_pipeline_spark.streaming.jobs import stream_update_mode_counts
+
+    return stream_update_mode_counts(spark, sf_dir, _tag(sf_dir))

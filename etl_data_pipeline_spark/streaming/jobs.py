@@ -288,3 +288,27 @@ def stream_session_windows(
         )
     )
     return _run_to_memory(agg, _unique("j10_sessions"), "append")
+
+
+def stream_update_mode_counts(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J11: UPDATE output mode — the third emission mode (append: J5/J10,
+    complete: J6): a per-event-type count agg re-emits each key's new
+    value every micro-batch it changes in. The memory sink therefore
+    holds one row per (key, batch-that-touched-it); since counts only
+    grow, the max per key is the final state and equals the batch
+    GROUP BY exactly.
+    """
+    from pyspark.sql.window import Window
+
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j11"))
+    stream = _read_staged_stream(spark, staged)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    emitted = _run_to_memory(agg, _unique("j11_update"), "update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events")
+    )
