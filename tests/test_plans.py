@@ -280,3 +280,23 @@ def test_runtime_bloom_filter_injected(spark):
     plan = plan_of(spark, "runtime_bloom_join")
     p = plan.lower()
     assert "might_contain" in p or "bloomfilter" in p, plan
+
+
+def test_incremental_dedup_prunes_corpus_scan(spark):
+    """incremental_dedup's corpus side must read only (doc_id, text) —
+    the hash is computed from text and nothing else crosses the join, so
+    ReadSchema pruning is what makes the daily merge cheap."""
+    plan = plan_of(spark, "incremental_dedup")
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        schema = line.split("ReadSchema:", 1)[1]
+        assert "lang" not in schema and "source" not in schema, line
+
+
+def test_pmi_bigrams_broadcasts_vocab(spark):
+    """pmi_bigrams joins the Zipf-bounded unigram counts back via
+    broadcast — a shuffle join there would re-shuffle the bigram stream
+    twice for no reason."""
+    plan = plan_of(spark, "pmi_bigrams")
+    assert "BroadcastHashJoin" in plan, plan
