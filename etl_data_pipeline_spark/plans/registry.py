@@ -60,7 +60,9 @@ _PLAN_MODULES = [
 #: null-contract, script_ratio guard) and the brand-new round-4
 #: queries. Names not listed keep registration order after these.
 #: Unknown names are ignored (defensive: a renamed query must not
-#: break loading).
+#: break loading). NOTE for round 5: this list holds 51 names against a
+#: ~50-slot window — whichever tail entry misses a CORRECTNESS_r04 row
+#: leads the round-5 rotation, along with anything newly added.
 _PRIORITY = [
     # -- the 26 never-driver-checked (r01-r03) --------------------------
     # round-3 post-run stragglers
