@@ -986,3 +986,40 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("doc_id"),
         F.round(F.col("g") / F.lit(1_000_000_000_000.0), 6).alias("pagerank"),
     )
+
+
+@query(
+    "dedup_survivorship",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT SHA256(text)) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT SHA256(text)) AS BIGINT)
+             AS n_removed,
+           ROUND(1.0 - COUNT(DISTINCT SHA256(text))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_before
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship report: per-source doc counts before/after
+    exact content dedup and the resulting duplication rate — the
+    dashboard row every corpus build publishes (which crawl is feeding
+    you copies). Pure agg with a distinct-count on the content hash: one
+    shuffle, same posture as i3 but reporting instead of filtering.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(h)).alias("n_removed"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(h) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.sum("n_chars").alias("chars_before"),
+    )

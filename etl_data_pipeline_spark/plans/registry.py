@@ -121,6 +121,7 @@ _PRIORITY = [
     "event_debounce",
     "pareto_abc",
     "j11_stream_update_counts",
+    "dedup_survivorship",
 ]
 
 _loaded = False
