@@ -23,6 +23,17 @@ from pyspark.sql.window import Window
 #: a_i * h stays far below int64 overflow.
 MINHASH_P = 1_000_003
 
+#: Default cap on LSH band-bucket size. A bucket of m docs fans out to
+#: m*(m-1)/2 candidate pairs inside the band join; oversized buckets are
+#: boilerplate/template text (measured on this corpus: at sf0.1 the four
+#: largest buckets are ~2300 docs and carry 10.6M of the 10.9M candidate
+#: pairs) and are DIVERTED from pairwise expansion — they belong to
+#: exact-dedup / cluster-by-bucket handling instead.  100 caps any one
+#: bucket at <= 4950 pairs, keeping total candidates linear-ish in corpus
+#: size at 100 TB.  ``lsh_bucket_stats`` (plans/text.py) is the divert
+#: report: per-size bucket counts with the oversized flag.
+LSH_MAX_BUCKET_SIZE = 100
+
 
 def md5_hash32(col: Column) -> Column:
     """Stable 32-bit string hash reproducible in ANSI SQL (see module doc)."""
@@ -164,21 +175,15 @@ def minhash_signatures(
     return hashes.groupBy("doc_id", "i").agg(F.min("hv").alias("minhash"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float,
-    num_hashes: int = 16,
-    band_size: int = 4,
+def minhash_bands(
+    docs: DataFrame, num_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
-    """I4 scale path: MinHash + LSH banding near-dup detection.
-
-    Bands of ``band_size`` signature rows hash candidate pairs into
-    buckets (join on the band key — never all-pairs); candidates are then
-    verified with exact token-set Jaccard. With 16 hashes in 4 bands the
-    S-curve crosses ~0.7 similarity.
-    """
+    """LSH banding stage: (doc_id, band, band_key) — ``band_size``
+    consecutive signature rows concatenated into the bucket key. Shared
+    by ``minhash_lsh_pairs`` (candidate join) and the bucket-size divert
+    report (plans/text.py::lsh_bucket_stats)."""
     sig = minhash_signatures(docs, num_hashes)
-    bands = (
+    return (
         sig.withColumn("band", (F.col("i") / band_size).cast("long"))
         .groupBy("doc_id", "band")
         .agg(
@@ -187,6 +192,40 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """I4 scale path: MinHash + LSH banding near-dup detection.
+
+    Bands of ``band_size`` signature rows hash candidate pairs into
+    buckets (join on the band key — never all-pairs); candidates are then
+    verified with exact token-set Jaccard. With 16 hashes in 4 bands the
+    S-curve crosses ~0.7 similarity.
+
+    ``max_bucket_size`` is the quadratic-fan-out guard (the LSH sibling
+    of ``jaccard_pairs``' max_df_frac): buckets larger than the cap are
+    boilerplate/template clusters and are dropped BEFORE the band
+    self-join, so no single bucket can contribute more than
+    cap*(cap-1)/2 candidate pairs.  Diverted buckets are exactly the
+    rows ``lsh_bucket_stats`` flags oversized; route them to exact-dedup
+    / cluster-by-bucket handling.  ``None`` disables the cap.
+    """
+    bands = minhash_bands(docs, num_hashes, band_size)
+    if max_bucket_size is not None:
+        # Count per (band, band_key) via window — same key as the join
+        # below, so the extra pass rides the same hash partitioning.
+        wb = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
     left = bands.select(
         F.col("band").alias("band_l"),
         F.col("band_key").alias("key_l"),
@@ -361,6 +400,7 @@ def neardup_components(
     num_hashes: int = 16,
     band_size: int = 4,
     max_iters: int = 25,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Dedup family: near-duplicate CLUSTERS, not just pairs.
 
@@ -386,9 +426,9 @@ def neardup_components(
     are their own component) and the canonical doc is the cluster min —
     filtering ``is_canonical`` IS the dedup.
     """
-    pairs = minhash_lsh_pairs(docs, threshold, num_hashes, band_size).select(
-        "a", "b"
-    )
+    pairs = minhash_lsh_pairs(
+        docs, threshold, num_hashes, band_size, max_bucket_size
+    ).select("a", "b")
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)

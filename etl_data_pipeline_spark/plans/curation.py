@@ -53,7 +53,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::neardup_components).  ``is_canonical`` marks the
     cluster-min doc: filtering it IS the near-dup dedup.  The oracle
     computes the same components via a recursive CTE over the identical
-    verified pair set (shared CTE body with i4b_minhash_lsh)."""
+    verified pair set (shared CTE body with i4b_minhash_lsh, including
+    the band-bucket cap that diverts boilerplate buckets)."""
     d = load_table(spark, sf_dir, "documents")
     return neardup_components(d, threshold=0.5, num_hashes=16, band_size=4)
 
@@ -941,11 +942,12 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat (without it, pass k re-executes passes 1..k-1 — measured 35 s
     vs ~LSH-cost at sf0.1). The driver holds only N (a scalar,
     kmeans-loop precedent). Graph DENSITY is data-driven: this corpus is
-    template-heavy (sf0.1: 5k docs -> 5.7M verified near-dup pairs), so
-    the edge list, not the algorithm, is the big object; at 100 TB the
-    standard guard is capping LSH band-bucket size (oversized buckets =
-    boilerplate, diverted to exact-dedup handling) before pair
-    expansion.
+    template-heavy (sf0.1: 5k docs -> 10.9M band-join candidates, 10.6M
+    of them from 4 boilerplate buckets), so the edge list, not the
+    algorithm, is the big object; the guard is the LSH band-bucket cap
+    (operators/text.py::minhash_lsh_pairs, max_bucket_size=100):
+    oversized buckets = boilerplate, diverted to exact-dedup handling
+    before pair expansion, mirrored in the oracle's bands_ok CTE.
     """
     d = load_table(spark, sf_dir, "documents")
     from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs

@@ -15,10 +15,12 @@ from pyspark.sql.window import Window
 
 from etl_data_pipeline_spark.catalog import load_table
 from etl_data_pipeline_spark.operators.text import (
+    LSH_MAX_BUCKET_SIZE,
     MINHASH_P,
     exact_dedup,
     jaccard_pairs,
     md5_hash32,
+    minhash_bands,
     minhash_lsh_pairs,
     shingles,
     simhash_fingerprints,
@@ -150,12 +152,11 @@ def i4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, threshold=0.8, block_col="lang", max_df_frac=0.2)
 
 
-#: DuckDB CTE body reproducing ``minhash_lsh_pairs`` (threshold 0.5,
-#: 16 hashes, 4-row bands); ends in a ``lsh_pairs(a, b, jaccard)`` CTE so
-#: downstream oracles (i4b here; neardup components in plans/curation.py)
-#: can build on the verified pair set.  NOTE: no ``WITH`` prefix — callers
-#: prepend ``WITH `` or ``WITH RECURSIVE `` as needed.
-MINHASH_LSH_BODY = f"""
+#: DuckDB CTE body for the MinHash banding stage (16 hashes, 4-row
+#: bands): ends in ``bands(doc_id, band, band_key)`` + the per-bucket
+#: sizes ``bsz(band, band_key, bucket_n)``.  Shared by the LSH pair body
+#: below and the bucket-size divert report.  No ``WITH`` prefix.
+MINHASH_BANDS_BODY = f"""
     t AS (
       SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
       FROM documents
@@ -173,9 +174,24 @@ MINHASH_LSH_BODY = f"""
       SELECT doc_id, i // 4 AS band,
              STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY i) AS band_key
       FROM sig GROUP BY doc_id, i // 4
+    ), bsz AS (
+      SELECT band, band_key, COUNT(*) AS bucket_n
+      FROM bands GROUP BY band, band_key
+    )"""
+
+#: DuckDB CTE body reproducing ``minhash_lsh_pairs`` (threshold 0.5,
+#: 16 hashes, 4-row bands, bucket cap {LSH_MAX_BUCKET_SIZE}); ends in a
+#: ``lsh_pairs(a, b, jaccard)`` CTE so downstream oracles (i4b here;
+#: neardup components / pagerank in plans/curation.py) can build on the
+#: verified pair set.  NOTE: no ``WITH`` prefix — callers prepend
+#: ``WITH `` or ``WITH RECURSIVE `` as needed.
+MINHASH_LSH_BODY = MINHASH_BANDS_BODY + f""", bands_ok AS (
+      SELECT b.doc_id, b.band, b.band_key
+      FROM bands b JOIN bsz USING (band, band_key)
+      WHERE bsz.bucket_n <= {LSH_MAX_BUCKET_SIZE}
     ), cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM bands l JOIN bands r
+      FROM bands_ok l JOIN bands_ok r
         ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
     ), counts AS (
       SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id
@@ -206,9 +222,64 @@ MINHASH_LSH_BODY = f"""
 )
 def i4b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4 scale path: MinHash(16) + LSH(4x4 bands) candidates, exact
-    Jaccard verify at 0.5 — never materializes all pairs."""
+    Jaccard verify at 0.5 — never materializes all pairs.  Buckets above
+    ``LSH_MAX_BUCKET_SIZE`` (boilerplate/template clusters) are diverted
+    BEFORE the band join (operators/text.py::minhash_lsh_pairs), so no
+    bucket contributes more than cap^2/2 candidates; the oracle applies
+    the identical cap in its ``bands_ok`` CTE."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+
+
+@query(
+    "lsh_bucket_stats",
+    oracle="WITH "
+    + MINHASH_BANDS_BODY
+    + f"""
+    SELECT bucket_n,
+           COUNT(*) AS n_buckets,
+           CAST(bucket_n > {LSH_MAX_BUCKET_SIZE} AS INT) AS oversized,
+           CAST(bucket_n * (bucket_n - 1) // 2 * COUNT(*) AS BIGINT)
+             AS candidate_pairs
+    FROM bsz
+    GROUP BY bucket_n
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH divert report: the band-bucket size histogram with the
+    oversized flag — the operational dashboard for the bucket cap in
+    ``minhash_lsh_pairs``.  ``candidate_pairs`` is what each size class
+    WOULD contribute to the band join; rows with ``oversized = 1`` are
+    exactly the buckets the cap removes (measured here: at sf0.1 the 4
+    largest buckets carry 10.6M of 10.9M candidates — the cap turns a
+    quadratic blowup into <= cap^2/2 per bucket).
+
+    Scale: signatures + one groupBy on (band, band_key) + a tiny
+    histogram agg — no self-join anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(d, num_hashes=16, band_size=4)
+    bsz = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    return (
+        bsz.groupBy("bucket_n")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "bucket_n",
+            "n_buckets",
+            (F.col("bucket_n") > LSH_MAX_BUCKET_SIZE)
+            .cast("int")
+            .alias("oversized"),
+            (
+                F.col("bucket_n")
+                * (F.col("bucket_n") - 1)
+                / F.lit(2)
+                * F.col("n_buckets")
+            )
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+    )
 
 
 @query(

@@ -319,3 +319,51 @@ def test_real_decoders_roundtrip_pure_python():
         decode_audio(b"ID3\x04" + b"\x00" * 16)
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 16)
+
+
+def test_lsh_bucket_cap_diverts_oversized_buckets(spark):
+    """The band-bucket cap is the quadratic-fan-out guard: a 20-doc
+    boilerplate cluster lands in one bucket per band; with the cap below
+    20 NONE of its 190 pairs may be emitted (diverted to exact-dedup
+    handling), while genuinely small near-dup buckets still pair.  Also
+    asserts the property the plan promises: every emitted pair shares at
+    least one band bucket whose size is within the cap."""
+    from etl_data_pipeline_spark.operators.text import (
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+
+    template = "the same boilerplate template text repeated verbatim here"
+    rows = [(i, template) for i in range(20)]
+    rows += [
+        (100, "alpha bravo charlie delta echo foxtrot golf hotel india one"),
+        (101, "alpha bravo charlie delta echo foxtrot golf hotel india two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(
+        docs, 0.5, 16, 4, max_bucket_size=None
+    ).toPandas()
+    capped = minhash_lsh_pairs(docs, 0.5, 16, 4, max_bucket_size=10).toPandas()
+
+    # uncapped: the 20 identical docs yield all 190 template pairs
+    template_pairs = {
+        (a, b) for a in range(20) for b in range(20) if a < b
+    }
+    got_uncapped = {(int(r.a), int(r.b)) for r in uncapped.itertuples()}
+    assert template_pairs <= got_uncapped
+
+    # capped: every template pair is diverted; no doc < 100 appears
+    got_capped = {(int(r.a), int(r.b)) for r in capped.itertuples()}
+    assert not (got_capped & template_pairs)
+    assert all(a >= 100 and b >= 100 for a, b in got_capped)
+
+    # property: each emitted pair shares >= 1 band whose bucket is small
+    bands = minhash_bands(docs, 16, 4).toPandas()
+    sizes = bands.groupby(["band", "band_key"]).size()
+    by_doc = bands.groupby("doc_id")[["band", "band_key"]].apply(
+        lambda g: set(map(tuple, g.values))
+    )
+    for a, b in got_capped:
+        shared = by_doc[a] & by_doc[b]
+        assert any(sizes[s] <= 10 for s in shared), (a, b)
