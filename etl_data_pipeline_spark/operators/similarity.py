@@ -491,8 +491,16 @@ def kmeans_iterations(embeddings: DataFrame, k: int = 8, iters: int = 3) -> Data
         stats = assign.agg(
             F.round(F.sum("dist2"), 6).alias("inertia"),
             F.count_distinct("cid").alias("n_nonempty"),
+            F.count(F.lit(1)).alias("n_assigned"),
         ).collect()[0]
-        results.append((it, float(stats["inertia"]), int(stats["n_nonempty"])))
+        results.append(
+            (
+                it,
+                float(stats["inertia"]),
+                int(stats["n_nonempty"]),
+                int(stats["n_assigned"]),
+            )
+        )
         cent = (
             dims.join(assign.select("vec_id", "cid"), "vec_id")
             .groupBy("cid", "pos")
@@ -500,7 +508,8 @@ def kmeans_iterations(embeddings: DataFrame, k: int = 8, iters: int = 3) -> Data
         )
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        results, "iteration long, inertia double, n_nonempty long"
+        results,
+        "iteration long, inertia double, n_nonempty long, n_assigned long",
     )
 
 

@@ -103,6 +103,14 @@ def jaccard_pairs(
         F.explode(F.split("text", " ")).alias("token"),
     ).distinct()
     if max_df_frac is not None:
+        # Compare in INTEGERS on both engines: df * den <= num * n_docs.
+        # A double product (max_df_frac * n_docs) can round across an
+        # exact integer boundary and flip a token's inclusion vs the
+        # oracle's DECIMAL arithmetic — the float-boundary class this
+        # repo guards against everywhere else.
+        from fractions import Fraction
+
+        frac = Fraction(max_df_frac).limit_denominator(1_000_000)
         block_sizes = (
             t.select("block", "doc_id")
             .distinct()
@@ -112,7 +120,10 @@ def jaccard_pairs(
         dfc = t.groupBy("block", "token").agg(F.count(F.lit(1)).alias("df"))
         keep = (
             dfc.join(F.broadcast(block_sizes), "block")
-            .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
+            .filter(
+                F.col("df") * F.lit(frac.denominator)
+                <= F.lit(frac.numerator) * F.col("n_docs")
+            )
             .select("block", "token")
         )
         t = t.join(keep, ["block", "token"])

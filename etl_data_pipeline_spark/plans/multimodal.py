@@ -25,7 +25,9 @@ from etl_data_pipeline_spark.plans.registry import query
     SELECT doc_id,
            'text' AS modality,
            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS payload_bytes,
-           CAST(ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN -1
+                     ELSE ('0x' || SUBSTR(HEX(ENCODE(text)), 1, 2))::BIGINT
+                END AS BIGINT) AS first_byte,
            (OCTET_LENGTH(ENCODE(text)) % 251) / 251.0 AS feature
     FROM documents
     """,
@@ -103,8 +105,9 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 AS BIGINT) AS width,
            CAST(4 AS BIGINT) AS height,
            CAST(64 AS BIGINT) AS n_pixels,
-           CAST(CASE WHEN LEN(text) = 0 THEN 0
-                     ELSE ASCII(SUBSTR(text, 1, 1)) END AS BIGINT) AS first_r
+           CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN 0
+                     ELSE ('0x' || SUBSTR(HEX(ENCODE(text)), 1, 2))::BIGINT
+                END AS BIGINT) AS first_r
     FROM documents
     """,
 )
@@ -156,8 +159,8 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (
       SELECT doc_id, text,
-             GREATEST(LEAST(CAST(FLOOR(n_chars / 64.0) AS BIGINT), 5), 1)
-               AS n_frames
+             GREATEST(LEAST(CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 64.0)
+                                 AS BIGINT), 5), 1) AS n_frames
       FROM documents
     )
     SELECT doc_id,
@@ -165,8 +168,9 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(8 AS BIGINT) AS height,
            n_frames,
            CAST(CEIL(n_frames / 2.0) AS BIGINT) AS n_sampled,
-           CAST(CASE WHEN LEN(text) = 0 THEN 0
-                     ELSE ASCII(SUBSTR(text, 1, 1)) END AS BIGINT) AS first_y
+           CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN 0
+                     ELSE ('0x' || SUBSTR(HEX(ENCODE(text)), 1, 2))::BIGINT
+                END AS BIGINT) AS first_y
     FROM f
     """,
 )
@@ -185,8 +189,9 @@ def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     oracle="""
     WITH f AS (
-      SELECT doc_id, n_chars,
-             GREATEST(CAST(FLOOR(n_chars / 32.0) AS BIGINT), 1) AS n_frames
+      SELECT doc_id,
+             GREATEST(CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 32.0)
+                           AS BIGINT), 1) AS n_frames
       FROM documents
     )
     SELECT doc_id, CAST(CEIL(n_frames / 4.0) AS BIGINT) AS n_sampled

@@ -51,77 +51,42 @@ _PLAN_MODULES = [
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run
-#: (~50 entries checked in registration order). Round-4 rotation:
-#: cumulative r01-r03 coverage left exactly 26 registered queries with
-#: no driver-side CORRECTNESS row (VERDICT.md round 3, "What's missing"
-#: item 1) — those 26 go first so the registry reaches 100%
-#: driver-checked, followed by queries whose code or oracle CHANGED
-#: this round (j5/j6/mm_resize rows-only -> exact, i4 df-cap, h1c
-#: null-contract, script_ratio guard) and the brand-new round-4
-#: queries. Names not listed keep registration order after these.
-#: Unknown names are ignored (defensive: a renamed query must not
-#: break loading). NOTE for round 5: this list holds 51 names against a
-#: ~50-slot window — whichever tail entry misses a CORRECTNESS_r04 row
-#: leads the round-5 rotation, along with anything newly added.
+#: (~50 entries checked in registration order). Round-5 rotation:
+#: `dedup_survivorship` leads (the only registered query with no
+#: cumulative CORRECTNESS row — committed after the r04 run), followed
+#: by everything whose code or oracle CHANGED in round 5 (LSH bucket
+#: cap and its three consumers, de-hinted vocab joins, byte-based
+#: multimodal oracles, integer df-cap, bloom-join cache, the three
+#: rows-only -> exact error-bound reformulations) and the brand-new
+#: round-5 queries. Names not listed keep registration order after
+#: these. Unknown names are ignored (defensive: a renamed query must
+#: not break loading).
 _PRIORITY = [
-    # -- the 26 never-driver-checked (r01-r03) --------------------------
-    # round-3 post-run stragglers
-    "c8b_asof_forward",
-    "interval_overlap_join",
-    "script_ratio",
-    "unigram_lm_score",
-    # io tail
-    "a9_python_datasource",
-    "a10_orc_roundtrip",
-    "a11_text_roundtrip",
-    "a12_zstd_parquet",
-    "a13_compact_small_files",
-    "a14_clustered_layout",
-    "a15_file_lineage",
-    # relational / etl tail
-    "b5b_try_cast",
-    "bucketed_join",
-    "skew_salted_join",
-    "incremental_merge",
-    "d9_mode_bool_agg",
-    "d10_bitwise_agg",
-    "f3_pagination",
-    # modern Spark-4 / UDF / streaming tail
-    "h7_variant",
-    "h8_xml_extract",
-    "j8_foreach_batch_sink",
-    "j9_stream_stream_join",
-    "k5_arrow_udf",
-    "k6_map_in_arrow",
-    "k7_cogroup_asof",
-    "k8_grouped_agg_udaf",
-    # -- changed this round (need fresh evidence) -----------------------
-    "j5_stream_watermark",
-    "j6_stream_dedup",
-    "mm_resize",
-    "i4_jaccard_pairs",
-    "h1c_regexp_extract_all",
-    # -- new in round 4 -------------------------------------------------
-    "mm_decode_image",
-    "mm_decode_audio",
-    "mm_decode_video",
-    "dpp_partition_pruned_join",
-    "pmi_bigrams",
-    "vector_centroids",
-    "incremental_dedup",
-    "profile_table",
-    "source_kl_divergence",
-    "pagerank_neardup",
-    "runtime_bloom_join",
-    "embedding_clip_stats",
-    "j10_stream_session_windows",
-    "rolling_median",
-    "trend_slope",
-    "a16_fixed_width",
-    "event_debounce",
-    "pareto_abc",
-    "j11_stream_update_counts",
+    # -- never driver-checked (added post-r04-run) ----------------------
     "dedup_survivorship",
+    # -- changed in round 5 (need fresh evidence) -----------------------
+    # LSH band-bucket cap (operators/text.py) + mirrored oracle CTE
+    "i4b_minhash_lsh",
+    "neardup_clusters",
+    "pagerank_neardup",
+    # de-hinted vocab joins (scale posture; same results)
+    "pmi_bigrams",
+    "source_kl_divergence",
+    # integer df-cap compare (float-boundary guard)
+    "i4_jaccard_pairs",
+    # byte-semantics oracles (non-ASCII-safe parity)
+    "mm_features",
+    "mm_decode_image",
+    "mm_decode_video",
+    "mm_frame_sample",
+    # single-execution cache fix
+    "runtime_bloom_join",
+    # rows-only -> exact error-bound oracles (ann_recall template)
+    "d4_approx_distinct",
+    "d8b_percentile_approx",
+    "kmeans_lloyd",
+    # -- new in round 5 -------------------------------------------------
+    "lsh_bucket_stats",
 ]
 
 _loaded = False

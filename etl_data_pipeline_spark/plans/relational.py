@@ -357,18 +357,50 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d4_approx_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "d4_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           COUNT(*) AS n_rows,
+           1 AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: approx_count_distinct (HLL++) — scale path for distinct counts.
 
-    Rows-only driver check; exact-semantics authority:
-    tests/test_operators.py::test_d4_approx_within_tolerance (estimate
-    within 5% of the exact count per group).
+    EXACT error-bound oracle (the ann_recall template): HLL sketches
+    differ across engines, so instead of the raw estimate the query
+    emits the exact distinct count plus a MEASURED bound check —
+    ``approx_within_5pct`` is 1 iff the Spark HLL estimate (rsd=0.01,
+    typical error ~1%) sits within ±5% of the exact count; the oracle
+    asserts the constant 1, so an out-of-tolerance sketch flips the
+    driver hash red. The comparison is pure integer arithmetic
+    (approx*20 vs n_exact*19/21) — no float boundary.
+    Raw-estimate tolerance is additionally asserted in
+    tests/test_operators.py::test_d4_approx_within_tolerance.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+            F.count_distinct("l_partkey").alias("n_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "n_rows",
+            (
+                (F.col("approx") * 20 >= F.col("n_exact") * 19)
+                & (F.col("approx") * 20 <= F.col("n_exact") * 21)
+            )
+            .cast("int")
+            .alias("approx_within_5pct"),
+        )
     )
 
 
@@ -471,18 +503,48 @@ def d8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d8b_percentile_approx")  # no oracle: sketch-based, engine-specific
+@query(
+    "d8b_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50_exact,
+           1 AS within_rank_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def d8b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 scale path: approx percentile (KLL-style sketch, mergeable).
 
-    Rows-only driver check; exact-semantics authority:
-    tests/test_operators.py::test_d8b_approx_percentile_near_exact
-    (approx p50 within 2% of d8_percentiles' exact p50 per group).
+    EXACT error-bound oracle (ann_recall template): the sketch value is
+    engine-specific, so the query emits the exact interpolated p50 (d8
+    parity, hash-checked) plus ``within_rank_bound`` — 1 iff the approx
+    p50 (accuracy=10000, guaranteed rank error 1e-4) falls between the
+    exact quantiles at 0.5 ± 0.001 (10x the guaranteed bound, still a
+    tight 0.2%-of-ranks window). The oracle asserts the constant 1, so
+    an out-of-bound sketch flips the driver hash red.
+    Raw-value tolerance is additionally asserted in
+    tests/test_operators.py::test_d8b_approx_percentile_near_exact.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
+            F.percentile("l_extendedprice", 0.5).alias("p50_raw"),
+            F.percentile("l_extendedprice", 0.499).alias("lo"),
+            F.percentile("l_extendedprice", 0.501).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round(F.col("p50_raw"), 6).alias("p50_exact"),
+            ((F.col("p50a") >= F.col("lo")) & (F.col("p50a") <= F.col("hi")))
+            .cast("int")
+            .alias("within_rank_bound"),
+        )
     )
 
 

@@ -62,6 +62,13 @@ def j5_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     input — dropping is documented best-effort — so no rows vanish).
     Emission gating itself is additionally asserted by
     tests/test_operators.py::test_j5_watermark_gates_append_emission.
+
+    VERSION COUPLING (deliberate, documented): the exactness of this
+    oracle rides on 4.1.2's no-drop behavior for below-watermark file-
+    source input. If a Spark upgrade starts filtering late input, the
+    stream emits fewer rows than the oracle counts and this query (and
+    j10) flips red — loud, not silent; re-verify the batch-1 staging on
+    any version bump before trusting the parity check.
     """
     return windowed_counts_with_watermark(spark, sf_dir, _tag(sf_dir))
 

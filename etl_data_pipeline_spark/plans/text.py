@@ -119,7 +119,7 @@ _JACCARD_ORACLE = """
     ), t AS (
       SELECT t0.doc_id, t0.lang, t0.token
       FROM t0 JOIN dfc USING (lang, token) JOIN bs USING (lang)
-      WHERE dfc.df <= {max_df_frac} * bs.n_docs
+      WHERE dfc.df * {df_den} <= {df_num} * bs.n_docs
     ), counts AS (
       SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id
     ), inter AS (
@@ -137,7 +137,7 @@ _JACCARD_ORACLE = """
 """
 
 
-@query("i4_jaccard_pairs", oracle=_JACCARD_ORACLE.format(tau=0.8, max_df_frac=0.2))
+@query("i4_jaccard_pairs", oracle=_JACCARD_ORACLE.format(tau=0.8, df_num=1, df_den=5))
 def i4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4: n-gram (token-set) Jaccard near-dup pairs, blocked by lang,
     with a document-frequency cap (tokens in > 20% of a block's docs are
@@ -640,12 +640,15 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector). Only pairs seen >= 5 times are emitted.
 
     Scale: bigrams come from a zip of the token array with its shift
-    (slice+arrays_zip, pure codegen — no self-join); unigram counts and
-    the two corpus totals are broadcast back onto the bigram counts
-    (vocab is Zipf-bounded at any corpus size, same posture as
-    unigram_lm_score). Two shuffles total (bigram groupBy, unigram
-    groupBy); all math is integer counts into one double expression with
-    matching association order on both engines.
+    (slice+arrays_zip, pure codegen — no self-join). The unigram vocab
+    is NOT broadcast — a 100 TB web corpus has 10^8-10^9 distinct tokens
+    (typos, IDs, URLs), far past executor broadcast limits — instead the
+    ``c_ab >= 5`` frequency floor prunes the bigram side BEFORE the two
+    vocab joins (only tokens appearing in surviving bigrams cross them)
+    and the join strategy is left to Catalyst/AQE, which broadcasts the
+    small side at runtime when it fits. Only the single-row totals frame
+    carries a broadcast hint. All math is integer counts into one double
+    expression with matching association order on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
     arr = d.select(F.split("text", " ").alias("a"))
@@ -667,8 +670,8 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
     return (
         bic.filter(F.col("c_ab") >= 5)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",
@@ -723,8 +726,13 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     may differ in the last ulp — a 1-unit grid wobble is 1e-12, far
     inside the final 1e-6 rounding).
 
-    Scale: two shuffles ((source, token) counts, then per-source sum);
-    token totals and corpus total broadcast back (Zipf-bounded vocab).
+    Scale: two shuffles ((source, token) counts, then per-source sum).
+    The per-token totals table is vocab-sized (10^8-10^9 distinct tokens
+    on a 100 TB web corpus) so it is NOT broadcast — the st-x-t join
+    shuffles on the token key, co-partitioned with the groupBy that
+    produced both sides; AQE may still broadcast at runtime when small.
+    Only the genuinely bounded frames carry hints: per-source totals
+    (#sources rows) and the single-row corpus total.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(d).select("source", "token")
@@ -734,7 +742,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = st.agg(F.sum("c_st").alias("n_tot"))
     contrib = (
         st.join(F.broadcast(s), "source")
-        .join(F.broadcast(t), "token")
+        .join(t, "token")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",

@@ -372,14 +372,46 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, k=3, nprobe=2)
 
 
-@query("kmeans_lloyd")  # no oracle: iterative algorithm (driver loop)
+@query(
+    "kmeans_lloyd",
+    oracle="""
+    SELECT i.range + 1 AS iteration,
+           1 AS inertia_decreased,
+           (SELECT COUNT(*) FROM embeddings) AS n_assigned
+    FROM RANGE(3) i
+    """,
+)
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd k-means over embeddings, 3 iterations (see
-    operators/similarity.py::kmeans_iterations). Rows-only driver check;
-    authority: tests/test_operators.py::test_kmeans_inertia_monotone
-    (inertia non-increasing across iterations, no empty clusters)."""
+    operators/similarity.py::kmeans_iterations).
+
+    EXACT error-bound oracle (ann_recall template): raw inertia values
+    are not SQL-reproducible (iterative float algorithm), so the query
+    emits Lloyd's INVARIANTS as driver-hashable values — per iteration,
+    ``inertia_decreased`` (1 iff inertia is non-increasing vs the
+    previous iteration, with 1e-9 relative slack for float accumulation)
+    and ``n_assigned`` (every vector assigned exactly once == table
+    count, which the oracle recomputes). A broken iteration flips the
+    driver hash red. Raw monotonicity + non-empty clusters additionally
+    asserted in tests/test_operators.py::test_kmeans_inertia_monotone.
+    """
+    from pyspark.sql.window import Window
+
     e = load_table(spark, sf_dir, "embeddings")
-    return kmeans_iterations(e, k=8, iters=3)
+    res = kmeans_iterations(e, k=8, iters=3)
+    w = Window.orderBy("iteration")
+    prev = F.lag("inertia").over(w)
+    return res.select(
+        "iteration",
+        F.when(
+            prev.isNull() | (F.col("inertia") <= prev * 1.000000001 + 1e-9),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("inertia_decreased"),
+        "n_assigned",
+    )
 
 
 @query(

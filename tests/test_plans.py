@@ -294,9 +294,25 @@ def test_incremental_dedup_prunes_corpus_scan(spark):
         assert "lang" not in schema and "source" not in schema, line
 
 
-def test_pmi_bigrams_broadcasts_vocab(spark):
-    """pmi_bigrams joins the Zipf-bounded unigram counts back via
-    broadcast — a shuffle join there would re-shuffle the bigram stream
-    twice for no reason."""
-    plan = plan_of(spark, "pmi_bigrams")
-    assert "BroadcastHashJoin" in plan, plan
+def test_pmi_vocab_join_pruned_not_hint_broadcast(spark):
+    """The unigram vocab must NOT be hint-broadcast (10^8-10^9 distinct
+    tokens on a 100 TB web corpus — past executor broadcast limits):
+    the c_ab >= 5 frequency floor prunes the bigram side before the two
+    vocab joins and the strategy is left to Catalyst/AQE.  Exactly one
+    mandatory broadcast remains — the single-row totals crossJoin."""
+    df = QUERIES["pmi_bigrams"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1, analyzed
+    # the frequency floor survives optimization as a Filter (pre-join:
+    # it is applied to the bigram agg before either vocab join is built)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "c_ab" in opt and "Filter" in opt, opt
+
+
+def test_source_kl_vocab_join_not_hint_broadcast(spark):
+    """source_kl_divergence may hint-broadcast only the bounded frames
+    (per-source totals, single-row corpus total) — never the vocab-sized
+    per-token totals table."""
+    df = QUERIES["source_kl_divergence"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
