@@ -60,8 +60,17 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Load context: a uniform cross-query slowdown with unchanged code is
+    # a host-contention signature; record the 1/5/15-min loadavg around
+    # the run so a regression can be attributed (or not) to a noisy host
+    # instead of a plan change (VERDICT r4 asked for exactly this).
+    load_before = os.getloadavg()
+    t0 = time.perf_counter()
     load_all_plans()
+    registry_load_sec = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
     spark = get_spark(app_name="bench")
+    session_start_sec = round(time.perf_counter() - t0, 4)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -127,6 +136,13 @@ def main() -> None:
     }
     if scaling is not None:
         record["scaling"] = scaling
+    record["load_context"] = {
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "ncpus": os.cpu_count(),
+        "registry_load_sec": registry_load_sec,
+        "session_start_sec": session_start_sec,
+    }
     print(json.dumps(record))
     spark.stop()
 

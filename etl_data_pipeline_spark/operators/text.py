@@ -415,57 +415,37 @@ def neardup_components(
 ) -> DataFrame:
     """Dedup family: near-duplicate CLUSTERS, not just pairs.
 
-    ``minhash_lsh_pairs`` emits verified near-dup edges; this closes them
-    into connected components by iterative min-label propagation: every
-    doc starts labeled with its own id, and each round every doc takes
-    the min label over itself and its neighbors.  Convergence is reached
-    after ``diameter(component)`` rounds — near-dup clusters are tiny and
-    tight, so this is 2-3 rounds in practice; the loop exits as soon as
-    a round changes nothing (checked via a scalar count, the same
-    driver-loop discipline as ``kmeans_iterations``).
-
-    Scale posture (100 TB): per round, one equi-join edges->labels plus
-    one groupBy(min) — both shuffle on doc_id and the (small) edge set is
-    re-partitioned once up front.  ``localCheckpoint`` truncates the
-    per-round lineage so the plan stays O(1) deep.  For adversarially
-    long chains, swap the propagation step for the alternating
-    large-star/small-star rounds of Kiveris et al., "Connected Components
-    in MapReduce and Beyond" (SOCC'14) — same join/groupBy primitives.
+    ``minhash_lsh_pairs`` emits verified near-dup edges; this closes
+    them into connected components with the alternating large-star /
+    small-star rounds of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SOCC'14) — see
+    operators/graph.py::connected_components_star.  Unlike the min-label
+    propagation this replaced (which needs diameter(component) rounds
+    and silently truncated adversarial chains longer than ``max_iters``),
+    the star alternation contracts path lengths geometrically: O(log
+    diameter) rounds of the same join/groupBy primitives, each round two
+    scalars to the driver and a flat ``localCheckpoint``ed lineage.
 
     Returns one row per document: (doc_id, component, is_canonical) where
     ``component`` is the min doc_id of the near-dup cluster (singletons
     are their own component) and the canonical doc is the cluster min —
     filtering ``is_canonical`` IS the dedup.
     """
+    from etl_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
     pairs = minhash_lsh_pairs(
         docs, threshold, num_hashes, band_size, max_bucket_size
     ).select("a", "b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_iters):
-        prop = edges.join(
-            labels.select(
-                F.col("doc_id").alias("b"), F.col("component")
-            ),
-            "b",
-        ).select(F.col("a").alias("doc_id"), "component")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.select("doc_id", F.col("component").alias("c_new"))
-            .join(labels, "doc_id")
-            .filter(F.col("c_new") != F.col("component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.withColumn(
-        "is_canonical", F.col("component") == F.col("doc_id")
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    assignments, _ = connected_components_star(edges, max_iters=max_iters)
+    labels = docs.select("doc_id").join(
+        assignments.select(F.col("u").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
     )
+    return labels.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    ).withColumn("is_canonical", F.col("component") == F.col("doc_id"))

@@ -388,3 +388,27 @@ def test_lsh_bucket_cap_diverts_oversized_buckets(spark):
     for a, b in got_capped:
         shared = by_doc[a] & by_doc[b]
         assert any(sizes[s] <= 10 for s in shared), (a, b)
+
+
+def test_connected_components_star_chain_converges_logarithmically(spark):
+    """large-star/small-star must solve a length-64 chain — propagation's
+    adversarial case (diameter 63 would need 63 propagation rounds and
+    silently truncate at max_iters=25) — in O(log L) rounds, with every
+    node labeled by the component min.  Plus a multi-component mix."""
+    from etl_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(63)]  # 0-1-2-...-63
+    edges = spark.createDataFrame(chain, "u long, v long")
+    assign, rounds = connected_components_star(edges)
+    got = {r["u"]: r["component"] for r in assign.collect()}
+    assert got == {i: 0 for i in range(1, 64)}
+    assert rounds <= 12, rounds  # log2(64)=6 star rounds + detection slack
+
+    # two components + an isolated pair, shuffled orientations
+    mixed = [(5, 3), (3, 9), (9, 1), (20, 25), (25, 20), (40, 41)]
+    edges2 = spark.createDataFrame(mixed, "u long, v long")
+    assign2, _ = connected_components_star(edges2)
+    got2 = {r["u"]: r["component"] for r in assign2.collect()}
+    assert got2 == {3: 1, 5: 1, 9: 1, 25: 20, 41: 40}
