@@ -48,8 +48,9 @@ from etl_data_pipeline_spark.plans.text import MINHASH_LSH_BODY
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion: LSH near-dup pairs closed into connected
-    components by iterative min-label propagation (driver loop over
-    join+groupBy rounds, early-exit on convergence — see
+    components by alternating large-star/small-star rounds (Kiveris
+    SOCC'14, O(log diameter) convergence — see
+    operators/graph.py::connected_components_star via
     operators/text.py::neardup_components).  ``is_canonical`` marks the
     cluster-min doc: filtering it IS the near-dup dedup.  The oracle
     computes the same components via a recursive CTE over the identical
@@ -1025,3 +1026,41 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.sum("n_chars").alias("chars_before"),
     )
+
+
+@query(
+    "neardup_degree_hist",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """
+    , edges AS (
+      SELECT a AS u FROM lsh_pairs
+      UNION ALL
+      SELECT b AS u FROM lsh_pairs
+    ), deg AS (
+      SELECT u, COUNT(*) AS degree FROM edges GROUP BY u
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph health dashboard: the degree histogram of the
+    (bucket-capped) verified LSH pair graph — the monitoring row that
+    catches boilerplate storms (a fat tail of high-degree hubs) before
+    they feed pagerank_neardup / neardup_clusters. Shares the exact
+    capped pair set with its consumers via MINHASH_LSH_BODY.
+
+    Scale: pairs -> one groupBy per node -> a histogram agg over at
+    most max-degree rows; never materializes anything wider than the
+    capped edge list.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+    nodes = pairs.select(F.col("a").alias("u")).unionAll(
+        pairs.select(F.col("b").alias("u"))
+    )
+    deg = nodes.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -87,6 +87,11 @@ _PRIORITY = [
     "kmeans_lloyd",
     # -- new in round 5 -------------------------------------------------
     "lsh_bucket_stats",
+    "tpch_q4_exists",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive",
+    "rolling_distinct_types",
+    "neardup_degree_hist",
 ]
 
 _loaded = False

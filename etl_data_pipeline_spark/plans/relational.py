@@ -1464,3 +1464,154 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "tpch_q4_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: order-priority checking — orders in a window
+    with at least one lineitem shipped >30 days after the order date
+    (correlated EXISTS -> LEFT SEMI join with a compound condition that
+    references both sides).
+
+    Scale: the semi join shuffles on orderkey only for orders surviving
+    the pushed date-range filter; the lineitem side carries just
+    (l_orderkey, l_shipdate) through the exchange (column pruning), and
+    semi-join semantics stop probing an order at its first match.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+             THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+             AS DECIMAL(38,4))) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(38,4))) AS DOUBLE) AS total_revenue,
+      100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+             THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+             AS DECIMAL(38,4))) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(38,4))) AS DOUBLE) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: promotion revenue share for one ship month —
+    conditional money aggregation across a fact-dim join.
+
+    Determinism: both revenue legs are exact DECIMAL(38,4) sums cast
+    once to double (functions/canonical.py); the share is then two IEEE
+    ops (multiply, divide) in pinned order — no ROUND, no tie to break.
+    Scale: part is the broadcast side; the shipdate range filter is
+    pushed to the lineitem scan so one month crosses the join, not the
+    whole fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = j.agg(
+        dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), 4).alias(
+            "promo_revenue"
+        ),
+        dec_sum(rev, 4).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        ).alias("promo_share_pct"),
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides — the disjunctive-pushdown
+    stress test.
+
+    Catalyst's CNF conversion extracts the single-side implications
+    (p_brand/p_size disjunction -> part scan, l_quantity range union ->
+    lineitem scan) so BOTH scans are pre-filtered before the join and
+    the full residual disjunction is re-checked after it — asserted in
+    tests/test_plans.py. At 100 TB that pre-filter is the difference
+    between joining three brands' parts and joining the whole catalog.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+
+    def leg(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        leg("Brand#3", 15, 1, 11)
+        | leg("Brand#12", 25, 10, 20)
+        | leg("Brand#21", 35, 20, 30)
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(cond)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(rev, 4).alias("revenue"),
+    )

@@ -316,3 +316,15 @@ def test_source_kl_vocab_join_not_hint_broadcast(spark):
     df = QUERIES["source_kl_divergence"](spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """tpch_q19's OR-of-ANDs spans both join sides; Catalyst must
+    extract the single-side implications and push them into BOTH parquet
+    scans (brand/size union -> part, quantity-range union -> lineitem) —
+    at 100 TB this pre-filter decides whether the join sees three
+    brands' rows or the whole table."""
+    plan = plan_of(spark, "tpch_q19_disjunctive")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), plan
+    assert any("p_brand" in l and "Or(" in l for l in pushed), plan
