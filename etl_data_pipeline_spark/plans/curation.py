@@ -1064,3 +1064,77 @@ def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "neardup_triangles",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """
+    , e AS (
+      SELECT a, b FROM lsh_pairs
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), deg AS (
+      SELECT u, COUNT(*) AS d
+      FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+      GROUP BY u
+    ), wed AS (
+      SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           3.0 * n_triangles / n_wedges AS clustering_coeff
+    FROM tri, wed
+    """,
+)
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-dup graph: triangle count, wedge
+    (open-path) count, and the global clustering coefficient
+    3*triangles/wedges — the density diagnostic that separates tight
+    template cliques (coeff -> 1) from chain-like drift (coeff -> 0),
+    deciding whether cluster-then-keep-one or pairwise review is the
+    right dedup action.
+
+    Triangles are counted on the a<b oriented edge list with the
+    two-join wedge-close pattern (e1=(a,b) x e2=(b,c) closed by
+    e3=(a,c)) — each triangle counted exactly once, equi-joins only.
+    Scale: wedge fan-out is bounded by the LSH bucket cap upstream
+    (degree <= bands*cap); at 100 TB orient edges by (degree, id)
+    (compact-forward) so every wedge center is the lowest-degree vertex,
+    which caps per-node join work at sqrt(|E|)-ish. All-integer until
+    the single final division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
+
+    pairs = (
+        minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+        .select("a", "b")
+        .localCheckpoint()  # reused by three join legs + degree agg
+    )
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = pairs.join(e2, "b")
+    e3 = pairs.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = pairs.select(F.col("a").alias("u")).unionAll(
+        pairs.select(F.col("b").alias("u"))
+    )
+    deg = nodes.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wed = deg.agg(
+        F.sum(F.floor(F.col("d") * (F.col("d") - 1) / 2))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        "n_wedges",
+        (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+            "clustering_coeff"
+        ),
+    )

@@ -441,55 +441,3 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("string").alias("ts_s"),
     )
-
-
-@query(
-    "rolling_distinct_types",
-    oracle="""
-    WITH flagged AS (
-      SELECT event_id, user_id, ts,
-             CASE WHEN ROW_NUMBER() OVER (
-                    PARTITION BY user_id, event_type
-                    ORDER BY ts, event_id) = 1
-                  THEN 1 ELSE 0 END AS first_seen
-      FROM events
-    )
-    SELECT event_id, user_id,
-           CAST(SUM(first_seen) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS distinct_types_so_far
-    FROM flagged
-    """,
-)
-def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed DISTINCT count — an operator Spark's window functions
-    lack natively (count_distinct over a window is unsupported):
-    per user, the number of distinct event types seen up to and
-    including each event. Decomposed into two supported windows —
-    a first-occurrence flag (row_number over (user, type)) and a
-    running sum of flags over (user) — the standard rewrite that also
-    avoids carrying a growing collect_set through the window state.
-
-    Determinism: (ts, event_id) is a total order per user (event_id is
-    unique). Scale: two window passes, both hash-partitioned by
-    user_id — no single-partition window, state is one long per row.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    w2 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    flagged = ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("first_seen"),
-    )
-    return flagged.select(
-        "event_id",
-        "user_id",
-        F.sum("first_seen").over(w2).cast("long").alias("distinct_types_so_far"),
-    )

@@ -90,8 +90,9 @@ _PRIORITY = [
     "tpch_q4_exists",
     "tpch_q14_promo_share",
     "tpch_q19_disjunctive",
-    "rolling_distinct_types",
     "neardup_degree_hist",
+    "j12_stream_sliding",
+    "neardup_triangles",
 ]
 
 _loaded = False

@@ -1,4 +1,4 @@
-"""Streaming queries (J5-J11) — ALL with exact DuckDB oracles: each
+"""Streaming queries (J5-J12) — ALL with exact DuckDB oracles: each
 output is a deterministic function of the staged event files (watermark
 gating, dedup survivors, state snapshots, sink contents, join pairs),
 so the equivalent batch SQL is an exact hash-checkable oracle; the same
@@ -216,3 +216,32 @@ def j11_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.streaming.jobs import stream_update_mode_counts
 
     return stream_update_mode_counts(spark, sf_dir, _tag(sf_dir))
+
+
+@query(
+    "j12_stream_sliding",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    slid AS (
+      SELECT DATE_TRUNC('hour', ts) - k.range * INTERVAL 1 HOUR AS ws
+      FROM events, RANGE(2) k
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           COUNT(*) AS n_events
+    FROM slid, mx
+    WHERE ws + INTERVAL 2 HOUR <= mx.wm
+    GROUP BY ws
+    """,
+)
+def j12_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: real readStream sliding-window agg (2h windows, 1h slide,
+    1h watermark, append mode). EXACT batch oracle: each event belongs
+    to the two hour-aligned windows covering it (trunc(ts) and
+    trunc(ts)-1h); append emits exactly the windows whose END the final
+    watermark passed, each once with its full two-batch count. Same
+    version coupling as j5 (documented there)."""
+    from etl_data_pipeline_spark.streaming.jobs import (
+        sliding_counts_with_watermark,
+    )
+
+    return sliding_counts_with_watermark(spark, sf_dir, _tag(sf_dir))

@@ -312,3 +312,25 @@ def stream_update_mode_counts(
         .filter(F.col("rn") == 1)
         .select("event_type", "n_events")
     )
+
+
+def sliding_counts_with_watermark(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J12: SLIDING-window counts (2-hour windows advancing every hour)
+    with a 1-hour watermark, append mode — completes the streaming
+    window triad (tumbling j5, session j10, sliding here). Every event
+    lands in exactly two overlapping windows; append emits a window once
+    the final watermark passes its end, identical gating to j5 (and the
+    same 4.1.2 no-drop coupling documented there). Returns
+    (window_start string, n_events).
+    """
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j12"))
+    stream = _read_staged_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, _unique("j12_sliding"), "append")
