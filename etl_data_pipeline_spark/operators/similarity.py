@@ -573,3 +573,107 @@ def quantized_rerank(
         .filter(F.col("rn") <= k)
         .select("vec_id", "neighbor", "cosine")
     )
+
+
+def mmr_diversified(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 3,
+    n_cand: int = 16,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-k: greedily pick the candidate maximizing
+    ``lam * sim(query, c) - (1-lam) * max_{s in selected} sim(c, s)`` —
+    the retrieval shape that stops a near-dup cluster from filling the
+    whole result list (diversity-aware sampling for curation).
+
+    Cross-engine exactness: all similarities are QUANTIZED-integer
+    cosines (integer dot / sqrt of integer norm product — every
+    intermediate exact, the i6c discipline), lam=0.5 is a binary
+    power so each MMR score is two exact IEEE ops; ties break by lower
+    vec_id. The greedy itself runs driver-side over the collected
+    (n_cand relevances + n_cand^2 pairwise sims) — bounded constants,
+    the kmeans-centroid precedent; candidate generation and the
+    pairwise matrix are distributed joins. At 100 TB stage 1 swaps in
+    the blocked ``knn`` kernel (same contract); the greedy never grows
+    past n_cand.
+    """
+    from pyspark.sql.window import Window
+
+    qe = quantize_embeddings(embeddings)
+    dims = qe.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    norms = dims.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("n2")
+    )
+    qd = dims.filter(F.col("vec_id") == query_id).select(
+        "pos", F.col("v").alias("qv")
+    )
+    qn2 = norms.filter(F.col("vec_id") == query_id).select(
+        F.col("n2").alias("qn2")
+    )
+    rel = (
+        dims.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(qd), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .join(norms, "vec_id")
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            "vec_id",
+            (F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))).alias("r"),
+        )
+    )
+    w = Window.orderBy(F.desc("r"), F.asc("vec_id"))
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .select("vec_id", "r")
+    )
+    cd = dims.join(cand.select("vec_id"), "vec_id")
+    a = cd.select(F.col("vec_id").alias("c1"), "pos", F.col("v").alias("v1"))
+    b = cd.select(F.col("vec_id").alias("c2"), "pos", F.col("v").alias("v2"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("c1") != F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("vec_id").alias("c1"), F.col("n2").alias("n21"))
+    nn2 = norms.select(F.col("vec_id").alias("c2"), F.col("n2").alias("n22"))
+    sims = (
+        dots.join(n1, "c1")
+        .join(nn2, "c2")
+        .select(
+            "c1",
+            "c2",
+            (F.col("dot") / F.sqrt(F.col("n21") * F.col("n22"))).alias("s"),
+        )
+    )
+    rel_map = {row["vec_id"]: row["r"] for row in cand.collect()}
+    sim_map = {(row["c1"], row["c2"]): row["s"] for row in sims.collect()}
+    selected: list[int] = []
+    rows = []
+    remaining = sorted(rel_map)
+    for rank in range(1, k + 1):
+        best, best_score = None, None
+        for c in remaining:
+            ms = max((sim_map[(c, s)] for s in selected), default=0.0)
+            score = lam * rel_map[c] - (1 - lam) * ms
+            if best is None or score > best_score or (
+                score == best_score and c < best
+            ):
+                best, best_score = c, score
+        rows.append((rank, best, rel_map[best], best_score))
+        selected.append(best)
+        remaining.remove(best)
+    out = spark.createDataFrame(
+        rows, "rank long, vec_id long, relevance double, mmr_score double"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -93,6 +93,7 @@ _PRIORITY = [
     "neardup_degree_hist",
     "j12_stream_sliding",
     "neardup_triangles",
+    "mmr_diversified_topk",
 ]
 
 _loaded = False

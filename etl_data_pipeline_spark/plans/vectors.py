@@ -20,6 +20,7 @@ from etl_data_pipeline_spark.operators.similarity import (
     ivf_topk,
     kmeans_iterations,
     knn,
+    mmr_diversified,
 )
 from etl_data_pipeline_spark.plans.registry import query
 
@@ -524,3 +525,74 @@ def embedding_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped",
         )
     )
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> FLOOR(x * 127.0
+                          / (CASE WHEN m = 0 THEN 1.0 ELSE m END)
+                          + 0.5)) AS qe
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> ABS(x)), 'max') AS m
+            FROM embeddings) s
+    ), rel AS (
+      SELECT b.vec_id AS c,
+             list_inner_product(a.qe, b.qe)
+               / SQRT(list_inner_product(a.qe, a.qe)
+                    * list_inner_product(b.qe, b.qe)) AS r
+      FROM qv a JOIN qv b ON a.vec_id = 0 AND b.vec_id != 0
+    ), cand AS (
+      SELECT c, r FROM (
+        SELECT c, r, ROW_NUMBER() OVER (ORDER BY r DESC, c) AS rn FROM rel)
+      WHERE rn <= 16
+    ), sims AS (
+      SELECT x.c AS c1, y.c AS c2,
+             list_inner_product(qx.qe, qy.qe)
+               / SQRT(list_inner_product(qx.qe, qx.qe)
+                    * list_inner_product(qy.qe, qy.qe)) AS s
+      FROM cand x JOIN cand y ON x.c != y.c
+      JOIN qv qx ON qx.vec_id = x.c
+      JOIN qv qy ON qy.vec_id = y.c
+    ), s1 AS (
+      SELECT c, r, 0.5 * r AS score FROM cand
+      ORDER BY score DESC, c LIMIT 1
+    ), s2 AS (
+      SELECT x.c, x.r, 0.5 * x.r - 0.5 * sa.s AS score
+      FROM cand x
+      JOIN s1 ON x.c != s1.c
+      JOIN sims sa ON sa.c1 = x.c AND sa.c2 = s1.c
+      ORDER BY score DESC, x.c LIMIT 1
+    ), s3 AS (
+      SELECT x.c, x.r, 0.5 * x.r - 0.5 * GREATEST(sa.s, sb.s) AS score
+      FROM cand x
+      JOIN s1 ON x.c != s1.c
+      JOIN s2 ON x.c != s2.c
+      JOIN sims sa ON sa.c1 = x.c AND sa.c2 = s1.c
+      JOIN sims sb ON sb.c1 = x.c AND sb.c2 = s2.c
+      ORDER BY score DESC, x.c LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS rank, c AS vec_id,
+           ROUND(r, 6) AS relevance, ROUND(score, 6) AS mmr_score FROM s1
+    UNION ALL
+    SELECT 2, c, ROUND(r, 6), ROUND(score, 6) FROM s2
+    UNION ALL
+    SELECT 3, c, ROUND(r, 6), ROUND(score, 6) FROM s3
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: Maximal Marginal Relevance top-3 for query
+    vector 0 over a 16-candidate pool (lam=0.5) — see
+    operators/similarity.py::mmr_diversified. Every similarity is the
+    exactly-reproducible quantized-integer cosine and lam is a binary
+    power, so the greedy's float comparisons are identical cross-engine;
+    the oracle unrolls the three selection steps as chained CTEs (the
+    pagerank unroll pattern). Guards result lists against near-dup
+    cluster takeover — the diversity-aware sampling primitive."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return mmr_diversified(spark, e, query_id=0, k=3, n_cand=16, lam=0.5)

@@ -412,3 +412,27 @@ def test_connected_components_star_chain_converges_logarithmically(spark):
     assign2, _ = connected_components_star(edges2)
     got2 = {r["u"]: r["component"] for r in assign2.collect()}
     assert got2 == {3: 1, 5: 1, 9: 1, 25: 20, 41: 40}
+
+
+def test_mmr_skips_near_duplicate_for_diverse_pick(spark):
+    """MMR's whole point: with an exact duplicate in the pool, rank 2
+    must skip it (similarity penalty ~= relevance) and take the diverse
+    candidate whose relevance-minus-redundancy is higher; rank 1 is the
+    plain relevance argmax with id tiebreak."""
+    from etl_data_pipeline_spark.operators.similarity import mmr_diversified
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query
+        (1, [0.9, 0.436, 0.0, 0.0]),     # most relevant
+        (2, [0.9, 0.436, 0.0, 0.0]),     # exact duplicate of 1
+        (3, [0.9, -0.436, 0.0, 0.0]),    # equally relevant, diverse
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        mmr_diversified(spark, e, query_id=0, k=2, n_cand=3)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert out["vec_id"].tolist() == [1, 3], out
+    # and the duplicate's would-be score is dominated: rank-2 score > 0
+    assert out["mmr_score"].iloc[1] > 0
