@@ -12,8 +12,10 @@ stamped into the emitted JSON.
 Comparability note vs BASELINE.md: the engine's formulations carry
 oracle-parity costs the baseline's plain formulations skip — q1's money
 aggregates run as exact integer-cent sums with a hi/lo long split
-(functions/canonical.py — deterministic cross-engine at codegen speed,
-cheaper than DECIMAL but still ~1.2x a plain double sum), distinct_agg
+(functions/canonical.py — deterministic cross-engine at codegen speed;
+same-session measurement 2026-08-14 at sf0.1: the wide-split aggregate
+is 1.39x a plain double-sum aggregate and 2.3x FASTER than the
+DECIMAL(38,s) path, full q1 ~2x the plain query), distinct_agg
 computes THREE exact distincts (baseline: one
 exact + one approx), window_rank evaluates four ranking functions
 (baseline: row_number only).  cosine_topk is the numpy mapInPandas kernel

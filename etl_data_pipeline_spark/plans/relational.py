@@ -246,10 +246,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Money sums are exact but stay in primitive-long codegen (cents_sum /
     cents_sum_wide in functions/canonical.py) instead of per-row
-    DECIMAL(38,s) conversion — same integer totals, measured ~1.5x
-    faster end-to-end at sf0.1. The 4dp/6dp columns use the hi/lo
-    split, whose component sums hold to ~9e12 rows per group (q1's
-    groups are whole table / 6, so the envelope is the binding one).
+    DECIMAL(38,s) conversion — same integer totals; same-session
+    measurement at sf0.1 (2026-08-14): wide-split agg 0.68s vs DECIMAL
+    1.56s (2.3x faster) vs plain unsound double sums 0.49s (the exact
+    path costs 1.39x plain — the price of cross-engine determinism).
+    The 4dp/6dp columns use the hi/lo split, whose component sums hold
+    to ~9e12 rows per group (q1's groups are whole table / 6, so the
+    envelope is the binding one).
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
