@@ -1138,3 +1138,77 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+@query(
+    "kcore_peel",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """
+    , e0 AS (
+      SELECT a AS u, b AS v FROM lsh_pairs
+      UNION ALL
+      SELECT b AS u, a AS v FROM lsh_pairs
+    ), d1 AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+    n1 AS (SELECT u FROM d1 WHERE d >= 3),
+    e1 AS (SELECT e.u, e.v FROM e0 e
+           JOIN n1 a ON a.u = e.u JOIN n1 b ON b.u = e.v),
+    d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY u),
+    n2 AS (SELECT u FROM d2 WHERE d >= 3),
+    e2 AS (SELECT e.u, e.v FROM e1 e
+           JOIN n2 a ON a.u = e.u JOIN n2 b ON b.u = e.v),
+    d3 AS (SELECT u, COUNT(*) AS d FROM e2 GROUP BY u),
+    n3 AS (SELECT u FROM d3 WHERE d >= 3)
+    SELECT n3.u AS doc_id, d3.d AS degree,
+           (SELECT COUNT(*) FROM n3) = (SELECT COUNT(*) FROM n2)
+             AS converged
+    FROM n3 JOIN d3 ON d3.u = n3.u
+    """,
+)
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction: 3 rounds of k-core peeling (k=3, classic
+    Matula-Beck) over the bucket-capped near-dup graph — nodes surviving
+    repeated remove-degree-<k rounds are the tightly-knit template
+    cores, the highest-confidence cluster-and-keep-one targets
+    (complements neardup_triangles' global density with per-node
+    membership).
+
+    Each round is one groupBy(count) + two node-list equi-joins, all
+    keyed by node id — the same primitives as connected components, so
+    a full fixpoint at 100 TB is this loop driven to stability
+    (localCheckpoint per round, scalar convergence check, the
+    kmeans/CC discipline). The 3-round unroll keeps the oracle a chain
+    of CTEs; ``converged`` reports whether round 3 changed nothing, so
+    a non-fixpoint result is visible, not silent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+    e = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    counts = []
+    deg = None
+    for _ in range(3):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        nodes = deg.filter(F.col("d") >= 3).select("u")
+        counts.append(nodes)
+        e = (
+            e.join(nodes, "u")
+            .join(nodes.select(F.col("u").alias("v")), "v")
+            .localCheckpoint()
+        )
+    n2_count = counts[1].agg(F.count(F.lit(1)).alias("c2"))
+    n3 = counts[2]
+    n3_count = n3.agg(F.count(F.lit(1)).alias("c3"))
+    conv = n3_count.crossJoin(F.broadcast(n2_count)).select(
+        (F.col("c3") == F.col("c2")).alias("converged")
+    )
+    return (
+        n3.join(deg, "u")
+        .crossJoin(F.broadcast(conv))
+        .select(F.col("u").alias("doc_id"), F.col("d").alias("degree"), "converged")
+    )

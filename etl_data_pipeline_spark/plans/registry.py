@@ -94,6 +94,7 @@ _PRIORITY = [
     "j12_stream_sliding",
     "neardup_triangles",
     "mmr_diversified_topk",
+    "kcore_peel",
 ]
 
 _loaded = False

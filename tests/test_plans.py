@@ -328,3 +328,24 @@ def test_q19_disjunction_pushed_to_both_scans(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_quantity" in l and "Or(" in l for l in pushed), plan
     assert any("p_brand" in l and "Or(" in l for l in pushed), plan
+
+
+def test_graph_queries_stay_equijoin(spark):
+    """The whole near-dup graph family (degree hist, triangles, k-core,
+    bucket stats) must stay equi-join shaped — a BNLJ/cartesian anywhere
+    in these plans is a scale regression on the densest data the engine
+    touches."""
+    for name in (
+        "neardup_degree_hist",
+        "neardup_triangles",
+        "kcore_peel",
+        "lsh_bucket_stats",
+    ):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        # the only BNLJ allowed is the broadcast CROSS of a single-row
+        # scalar frame (triangle wedge total, k-core convergence flag)
+        for line in tree.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (name, line)
