@@ -575,6 +575,46 @@ def quantized_rerank(
     )
 
 
+def mmr_candidates(
+    embeddings: DataFrame, query_id: int, n_cand: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """MMR stage 1 (the distributed part, exposed for plan audits):
+    quantized dims, per-vector norms, and the top-``n_cand`` relevance
+    cut vs the query vector.  The cut is ``orderBy().limit()`` —
+    TakeOrderedAndProject, distributed top-k — never a no-partition
+    row_number window that would funnel every relevance row through one
+    task at corpus scale."""
+    qe = quantize_embeddings(embeddings)
+    dims = qe.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    norms = dims.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("n2")
+    )
+    qd = dims.filter(F.col("vec_id") == query_id).select(
+        "pos", F.col("v").alias("qv")
+    )
+    qn2 = norms.filter(F.col("vec_id") == query_id).select(
+        F.col("n2").alias("qn2")
+    )
+    rel = (
+        dims.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(qd), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .join(norms, "vec_id")
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            "vec_id",
+            (F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))).alias("r"),
+        )
+    )
+    cand = (
+        rel.orderBy(F.desc("r"), F.asc("vec_id"))
+        .limit(n_cand)
+        .select("vec_id", "r")
+    )
+    return dims, norms, cand
+
+
 def mmr_diversified(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -602,35 +642,7 @@ def mmr_diversified(
     """
     from pyspark.sql.window import Window
 
-    qe = quantize_embeddings(embeddings)
-    dims = qe.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-    norms = dims.groupBy("vec_id").agg(
-        F.sum(F.col("v") * F.col("v")).alias("n2")
-    )
-    qd = dims.filter(F.col("vec_id") == query_id).select(
-        "pos", F.col("v").alias("qv")
-    )
-    qn2 = norms.filter(F.col("vec_id") == query_id).select(
-        F.col("n2").alias("qn2")
-    )
-    rel = (
-        dims.filter(F.col("vec_id") != query_id)
-        .join(F.broadcast(qd), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
-        .join(norms, "vec_id")
-        .crossJoin(F.broadcast(qn2))
-        .select(
-            "vec_id",
-            (F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))).alias("r"),
-        )
-    )
-    w = Window.orderBy(F.desc("r"), F.asc("vec_id"))
-    cand = (
-        rel.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_cand)
-        .select("vec_id", "r")
-    )
+    dims, norms, cand = mmr_candidates(embeddings, query_id, n_cand)
     cd = dims.join(cand.select("vec_id"), "vec_id")
     a = cd.select(F.col("vec_id").alias("c1"), "pos", F.col("v").alias("v1"))
     b = cd.select(F.col("vec_id").alias("c2"), "pos", F.col("v").alias("v2"))

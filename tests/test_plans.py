@@ -349,3 +349,25 @@ def test_graph_queries_stay_equijoin(spark):
         for line in tree.splitlines():
             if "BroadcastNestedLoopJoin" in line:
                 assert "Cross" in line, (name, line)
+
+
+def test_mmr_candidate_cut_is_take_ordered(spark):
+    """mmr's 16-candidate cut must be TakeOrderedAndProject (distributed
+    top-k), never a no-partition row_number window funneling all
+    relevance rows through one task. (The registered query returns the
+    driver-assembled selection — a LocalTableScan — so the audit targets
+    the exposed distributed stage.)"""
+    from etl_data_pipeline_spark.catalog import load_table
+    from etl_data_pipeline_spark.operators.similarity import mmr_candidates
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    _, _, cand = mmr_candidates(e, query_id=0, n_cand=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    tree = plan.split("\n\n")[0]
+    for line in tree.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line  # single-row norm broadcast only
