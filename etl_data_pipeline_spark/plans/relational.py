@@ -1048,7 +1048,11 @@ def f1_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver hash is order-insensitive, so the sort is materialized as
     an explicit sort_pos column (row_number over the same total order) —
-    that makes sort correctness hash-checkable.
+    that makes sort correctness hash-checkable. The no-partition window
+    exists only to expose that position; at 100 TB a global position is
+    computed range-partitioned — sortWithinPartitions on range splits,
+    then add each partition's exclusive prefix count (the two-phase rank
+    pattern global_shuffle demonstrates) — never one window task.
     """
     c = load_table(spark, sf_dir, "customer")
     withnulls = c.select(
