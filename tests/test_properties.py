@@ -162,3 +162,77 @@ def test_y4m_sampling_property(n_frames, every_n, w, h, seed):
     assert len(sampled) == len(want_idx)
     for got, i in zip(sampled, want_idx):
         assert np.array_equal(got, planes[i])
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(edges=EDGES)
+def test_star_cc_equals_union_find(spark, edges):
+    """large-star/small-star components must equal a Python union-find
+    on ANY random graph (self-loops, duplicates, both orientations) —
+    the randomized counterpart of the chain fixture test."""
+    from etl_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    assign, _ = connected_components_star(df)
+    got = {r["u"]: r["component"] for r in assign.collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = {
+        n: find(n) for n in nodes if find(n) != n
+    }  # non-min nodes only, matching the operator's contract
+    assert got == expected
+
+
+@SLOW
+@given(edges=EDGES, k=st.integers(min_value=2, max_value=4))
+def test_kcore_peel_rounds_match_python(spark, edges, k):
+    """Three distributed peel rounds must equal three Python peel rounds
+    on any random graph (same k), including the surviving-degree values."""
+    from pyspark.sql import functions as F2
+
+    clean = {(u, v) for u, v in edges if u != v}
+    if not clean:
+        return
+    sym = clean | {(v, u) for u, v in clean}
+    e = spark.createDataFrame(sorted(sym), "u long, v long")
+    deg = None
+    for _ in range(3):
+        deg = e.groupBy("u").agg(F2.count(F2.lit(1)).alias("d"))
+        nodes = deg.filter(F2.col("d") >= k).select("u")
+        e = e.join(nodes, "u").join(nodes.select(F2.col("u").alias("v")), "v")
+    survivors = {r["u"]: r["d"] for r in deg.collect() if r["d"] >= k}
+
+    py = set(sym)
+    pd_deg = {}
+    for _ in range(3):
+        pd_deg = {}
+        for u, v in py:
+            pd_deg[u] = pd_deg.get(u, 0) + 1
+        keep = {u for u, d in pd_deg.items() if d >= k}
+        py = {(u, v) for u, v in py if u in keep and v in keep}
+    expected = {u: d for u, d in pd_deg.items() if d >= k}
+    assert survivors == expected
