@@ -1212,3 +1212,69 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(conv))
         .select(F.col("u").alias("doc_id"), F.col("d").alias("degree"), "converged")
     )
+
+
+@query(
+    "pps_systematic_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS ca
+      FROM documents
+    ), tot AS (
+      SELECT lang, SUM(n_chars) AS total,
+             CAST(CEIL(SUM(n_chars) / 4.0) AS BIGINT) AS stride
+      FROM documents GROUP BY lang
+    ), marked AS (
+      SELECT w.doc_id, w.lang, w.n_chars, w.ca, w.ca - w.n_chars AS cb,
+             t.stride
+      FROM w JOIN tot t USING (lang)
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+           CAST(ca AS BIGINT) AS cum_chars
+    FROM marked
+    WHERE ((ca - 1) // stride)
+          - (CASE WHEN cb = 0 THEN -1 ELSE (cb - 1) // stride END) > 0
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (~4 docs per
+    language, inclusion probability proportional to n_chars) — the
+    quality-weighted corpus subsampling primitive, done with PURE
+    INTEGER arithmetic: a doc is selected iff its cumulative-weight
+    interval [cb, ca) covers a multiple of stride = ceil(total/4).
+    Unlike exponential-key (Efraimidis-Spirakis) weighted sampling,
+    there is no ln()/pow() whose last-ulp engine differences could flip
+    a selection — every comparison is exact long division, so the
+    sample is bitwise reproducible across engines, runs, and
+    repartitions (deterministic offset-0 anchor, documented).
+
+    Scale: one per-language cumulative window (shard the partition key
+    and offset by exclusive shard prefix totals at 100 TB — the
+    pack_sequences pattern) + a broadcast of per-language strides.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("ca"),
+    ).withColumn("cb", F.col("ca") - F.col("n_chars"))
+    tot = d.groupBy("lang").agg(
+        F.ceil(F.sum("n_chars") / F.lit(4.0)).cast("long").alias("stride")
+    )
+    marked = cum.join(F.broadcast(tot), "lang")
+    hi = F.expr("(ca - 1) DIV stride")
+    lo = F.when(F.col("cb") == 0, F.lit(-1)).otherwise(
+        F.expr("(cb - 1) DIV stride")
+    )
+    return marked.filter(hi - lo > 0).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.col("ca").cast("long").alias("cum_chars"),
+    )

@@ -95,6 +95,7 @@ _PRIORITY = [
     "neardup_triangles",
     "mmr_diversified_topk",
     "kcore_peel",
+    "pps_systematic_sample",
 ]
 
 _loaded = False
