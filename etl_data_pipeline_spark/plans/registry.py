@@ -96,6 +96,14 @@ _PRIORITY = [
     "mmr_diversified_topk",
     "kcore_peel",
     "pps_systematic_sample",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q2_min_cost",
+    "tpch_q21_waiting",
+    "tpch_q22_idle_customers",
+    "tpch_q7_volume",
+    "ewma_smooth",
 ]
 
 _loaded = False

@@ -1622,3 +1622,516 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dec_sum(rev, 4).alias("revenue"),
     )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: customer order-count distribution — how many
+    customers placed exactly N non-urgent orders, INCLUDING N=0.
+
+    The zero bucket is the point of the query: the priority predicate
+    must live in the LEFT JOIN's ON clause, not a WHERE after it — a
+    WHERE would silently drop never-ordered customers (outer-join
+    filter-placement trap), and COUNT(o_orderkey) (non-null only) is
+    what turns an unmatched customer into n_orders = 0 instead of 1.
+
+    Scale: first agg shuffles on c_custkey (orders side pre-filtered at
+    the scan, carrying only o_custkey/o_orderkey through the exchange);
+    the second agg's key space is |distinct order counts| — tiny — so
+    its shuffle is a few hundred rows of partial counts per executor.
+    Both counts are exact integers: hash-stable in any row order.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "tpch_q17_small_qty",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pa.cnt < pa.sum_qty
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: small-quantity-order revenue — lineitems of
+    one brand whose quantity is below 20% of that part's average
+    quantity (correlated scalar-AVG subquery, rewritten as a per-part
+    aggregate joined back to the fact — the shape Catalyst itself
+    produces for a correlated scalar subquery).
+
+    Exactness: the threshold compare is done in integers on BOTH
+    engines — ``qty * 5 * cnt < sum_qty`` is literally ``qty < 0.2 *
+    avg`` with the division cleared (quantities are integral, verified
+    in-repo), so no float boundary can flip a row cross-engine. Revenue
+    is an exact DECIMAL(38,2) sum; /7.0 is one IEEE division.
+
+    Scale: the per-part agg shuffles (l_partkey, qty) only — two bigint
+    partials per part after map-side combine; the join back to lineitem
+    reuses the same key so AQE can plan it without a second full fact
+    exchange; the brand dim filter broadcasts. The alternative —
+    windowing AVG over the fact — shuffles the full fact width instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (dec_sum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"),
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) AS DOUBLE)
+             AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: large-volume orders — orders whose total
+    quantity exceeds 300, with their customer (GROUP-BY + HAVING as a
+    semi-join filter, then re-aggregation over the joined fact).
+
+    Scale: the HAVING subquery reduces lineitem to qualifying orderkeys
+    BEFORE any wide join — at sf0.01 that's ~40 keys out of 15k orders,
+    and the selectivity IMPROVES with scale (the threshold is a fixed
+    physical quantity). The orderkey list then drives semi-join-style
+    pruning of orders; customer joins after the fact is already tiny.
+    Quantity sums are exact BIGINTs; o_totalprice crosses as one
+    DECIMAL(38,2)->double cast; o_orderdate crosses as a string
+    (timestamp canonicalization rule).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+        .select("l_orderkey", "sum_qty")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
+               F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(38,2)").cast("double")
+            .alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost",
+    oracle="""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(l.l_extendedprice AS DECIMAL(38,2)) AS price
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey = 0
+    ),
+    m AS (
+      SELECT l_partkey, MIN(price) AS min_price
+      FROM scoped GROUP BY l_partkey
+    ),
+    win AS (
+      SELECT sc.l_partkey AS p_partkey,
+             MIN(sc.l_suppkey) AS s_suppkey,
+             CAST(m.min_price AS DOUBLE) AS min_price
+      FROM scoped sc
+      JOIN m ON m.l_partkey = sc.l_partkey AND sc.price = m.min_price
+      JOIN part p ON p.p_partkey = sc.l_partkey AND p.p_size = 15
+      GROUP BY sc.l_partkey, m.min_price
+    )
+    SELECT w.p_partkey, w.s_suppkey, s.s_name, w.min_price
+    FROM win w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+    """,
+)
+def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue: minimum-cost supplier — for each size-15 part,
+    the region-0 supplier offering the lowest observed price (correlated
+    MIN subquery, rewritten as agg + equality join-back; ties broken by
+    lowest suppkey so the answer is a function of the data, not the
+    plan).
+
+    The lineitem side is pre-restricted to region-0 suppliers by a
+    broadcast semi-shape join (|supplier| << |fact|), so the per-part
+    MIN aggregates only in-region rows — the correlation scope of the
+    original subquery. Prices compare as exact DECIMAL(38,2): no float
+    boundary in either the MIN or the join-back equality.
+
+    Scale: agg + join-back on the same key (l_partkey) lets AQE reuse
+    the exchange rather than re-shuffling the fact; the window-function
+    alternative (rank over partkey ordered by price) shuffles the same
+    data once but cannot map-side-combine, so the agg form moves less.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 0
+    )
+    region_supp = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    scoped = li.join(
+        F.broadcast(region_supp), li.l_suppkey == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(38,2)").alias("price"),
+    )
+    m = scoped.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    p15 = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == 15
+    ).select("p_partkey")
+    win = (
+        scoped.join(
+            m,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("price") == F.col("min_price")),
+        )
+        .join(F.broadcast(p15), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    names = sup.select(F.col("s_suppkey").alias("ns_suppkey"), "s_name")
+    return win.join(
+        F.broadcast(names), F.col("s_suppkey") == F.col("ns_suppkey")
+    ).select(
+        "p_partkey",
+        "s_suppkey",
+        "s_name",
+        F.col("min_price").cast("double").alias("min_price"),
+    )
+
+
+@query(
+    "tpch_q21_waiting",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             SUM(CASE WHEN l.l_shipdate > o.o_orderdate
+                           + INTERVAL 1400 DAY
+                      THEN 1 ELSE 0 END) AS n_late_lines
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    po AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supps,
+             SUM(CASE WHEN n_late_lines > 0 THEN 1 ELSE 0 END)
+               AS n_late_supps
+      FROM ps GROUP BY l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(SUM(ps.n_late_lines) AS BIGINT) AS numwait
+    FROM ps
+    JOIN po ON po.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.n_late_lines > 0 AND po.n_supps >= 2
+      AND po.n_late_supps = 1
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: suppliers who kept orders waiting — late
+    lines (shipped >1400 days after ordering, the ~p90 lag in this
+    corpus) in finished multi-supplier orders where NO OTHER supplier
+    was late.
+
+    The reference formulation is EXISTS + NOT EXISTS against the same
+    fact; the distributed rewrite aggregates the fact ONCE to per-
+    (order, supplier) late-line counts, then both quantifiers become
+    scalar predicates on a per-order rollup of that aggregate:
+    EXISTS(other supplier) <=> n_supps >= 2; NOT EXISTS(other late
+    supplier) <=> n_late_supps = 1 (the row's own supplier is late, so
+    it is the one). numwait sums the surviving n_late_lines — the same
+    count the row-level EXISTS form produces.
+
+    Scale: the fact is scanned and aggregated exactly once; the
+    join-back runs on the (order, supplier) aggregate (|ps| <=
+    |lineitem| / lines-per-supplier-per-order), not on fact rows. A
+    two-level agg (not COUNT DISTINCT) keeps the plan Expand-free, and
+    the rollup's and the join's l_orderkey exchanges over ps are
+    identical, so Catalyst reuses one shuffle (plan-asserted:
+    ReusedExchange in tests/test_plans.py). Counts are exact integers.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ps = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 1400 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_late_lines")
+        )
+    )
+    po = ps.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(
+            F.when(F.col("n_late_lines") > 0, 1).otherwise(0)
+        ).alias("n_late_supps"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        ps.join(po, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS tot_cents,
+             COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT SUBSTR(c.c_name, 18, 1) AS cust_digit,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c, pos
+    WHERE SUBSTR(c.c_name, 18, 1) IN ('1','3','5','7','9')
+      AND CAST(CAST(c.c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT)
+            * pos.cnt > pos.tot_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY SUBSTR(c.c_name, 18, 1)
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: above-average-balance customers with no
+    urgent orders, bucketed by name digit — a global scalar subquery
+    (AVG over positive balances) feeding a filter, plus a NOT EXISTS
+    anti join.
+
+    Exactness: ``bal > avg`` is cleared of its division — compare
+    ``bal_cents * cnt > tot_cents`` in exact BIGINTs on both engines
+    (cents via one decimal cast, so no binary-double *100 artifact).
+    At 1e8 customers the product is ~1e14 — well inside int64.
+
+    Scale: the scalar aggregate is one row broadcast to every task; the
+    anti join shuffles only (custkey) pairs of the pre-filtered urgent
+    orders; the name-digit bucket is a scan-side expression. Nothing
+    here grows superlinearly with customers.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(
+            (F.col("c_acctbal").cast("decimal(38,2)") * 100).cast("bigint")
+        ).cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    digit = F.substring(F.col("c_name"), 18, 1)
+    eligible = (
+        c.filter(digit.isin("1", "3", "5", "7", "9"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(
+            (F.col("c_acctbal").cast("decimal(38,2)") * 100).cast("bigint")
+            * F.col("cnt")
+            > F.col("tot_cents")
+        )
+    )
+    return eligible.groupBy(digit.alias("cust_digit")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@query(
+    "tpch_q7_volume",
+    oracle="""
+    WITH j AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(38,4)) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM j GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: shipping volume between a nation pair, by
+    direction and ship year — the two-role dimension pattern (nation
+    joins the fact twice, once through supplier and once through
+    customer) under a symmetric disjunction.
+
+    Scale: the pair predicate's single-side implications (each nation
+    column IN the two names) are applied to the two nation dims BEFORE
+    broadcast, so each dim ships 2 rows and the fact is filtered at the
+    join instead of after a full cross-nation join; only the residual
+    "no same-nation pairs" disjunction remains post-join. Supplier and
+    customer broadcast; the only fact-scale shuffle is lineitem-orders.
+    Revenue is the exact DECIMAL(38,4) discipline.
+    """
+    pair = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue")
+    )

@@ -512,3 +512,101 @@ def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_micro_per_sec"
         ),
     )
+
+
+@query(
+    "ewma_smooth",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+             CAST(ts AS TIMESTAMP) AS tsu
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_id, v AS l0,
+             LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+             LAG(v, 3) OVER w AS l3, LAG(v, 4) OVER w AS l4,
+             LAG(v, 5) OVER w AS l5, LAG(v, 6) OVER w AS l6,
+             LAG(v, 7) OVER w AS l7
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    )
+    SELECT user_id, event_id,
+           (l0 * 128 + COALESCE(l1, 0) * 64 + COALESCE(l2, 0) * 32
+            + COALESCE(l3, 0) * 16 + COALESCE(l4, 0) * 8
+            + COALESCE(l5, 0) * 4 + COALESCE(l6, 0) * 2
+            + COALESCE(l7, 0)) AS num,
+           CAST(128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+            + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+            + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+            + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS den,
+           CAST((l0 * 128 + COALESCE(l1, 0) * 64 + COALESCE(l2, 0) * 32
+            + COALESCE(l3, 0) * 16 + COALESCE(l4, 0) * 8
+            + COALESCE(l5, 0) * 4 + COALESCE(l6, 0) * 2
+            + COALESCE(l7, 0)) AS DOUBLE)
+           / CAST((128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+            + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+            + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+            + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           / 1000000.0 AS ewma
+    FROM lagged
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) per user,
+    truncated at depth 8 — the smoothing primitive for metric streams.
+
+    Exactness: the textbook recursion ewma_t = a*v_t + (1-a)*ewma_{t-1}
+    is order-SERIAL (each value depends on the whole prefix), which is
+    both unscalable and float-order-fragile. Truncating at 8 taps makes
+    it a finite FIR filter whose alpha=1/2 weights are exact powers of
+    two: values land on the 1e-6 grid (one IEEE multiply + floor, bit-
+    identical cross-engine), the weighted numerator and the present-tap
+    denominator are exact BIGINTs, and the final value is two pinned
+    IEEE divisions. Truncation error vs the infinite recursion is
+    <= 2^-8 of the value range — below the grid.
+
+    Scale: one shuffle on user_id, then 8 O(1) LAG reads per row inside
+    a single window pass — no per-row Python, no growing state. The
+    num/den integers ride along so the check is hashable end-to-end.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("v")] + [F.lag("v", i).over(w) for i in range(1, 8)]
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        *[lag.alias(f"l{i}") for i, lag in enumerate(lags)],
+    )
+    num = sum(
+        (F.coalesce(F.col(f"l{i}"), F.lit(0)) * weights[i] for i in range(8)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"l{i}").isNull(), 0).otherwise(weights[i])
+            for i in range(8)
+        ),
+        start=F.lit(0),
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+        (
+            num.cast("double") / den.cast("double") / F.lit(1000000.0)
+        ).alias("ewma"),
+    )

@@ -371,3 +371,88 @@ def test_mmr_candidate_cut_is_take_ordered(spark):
     for line in tree.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line  # single-row norm broadcast only
+
+
+def test_q13_zero_bucket_join_stays_outer(spark):
+    """tpch_q13's priority predicate lives in the LEFT JOIN's ON clause;
+    if a refactor moves it to a post-join filter, Catalyst converts the
+    outer join to inner and the n_orders=0 customers silently vanish.
+    The plan must still say LeftOuter, and the customer scan must carry
+    only the join key."""
+    plan = plan_of(spark, "tpch_q13_custdist")
+    assert "LeftOuter" in plan, plan
+    read_schemas = [
+        line.split("ReadSchema")[1]
+        for line in plan.splitlines()
+        if "ReadSchema" in line
+    ]
+    cust = [s for s in read_schemas if "c_custkey" in s]
+    assert cust and all("c_name" not in s for s in cust), read_schemas
+
+
+def test_q17_brand_filter_broadcast_no_cartesian(spark):
+    """tpch_q17's correlated-AVG rewrite: the brand dim must broadcast
+    (85 parts — a shuffle of the fact for it is wrong) and the brand
+    predicate must reach the part scan."""
+    plan = plan_of(spark, "tpch_q17_small_qty")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), plan
+
+
+def test_q21_quantifier_rewrite_single_fact_scan_shape(spark):
+    """tpch_q21's EXISTS/NOT-EXISTS rewrite must stay equi-join shaped
+    (no BNLJ from a surviving correlated subquery), scan the fact table
+    exactly ONCE (the naive quantifier translation probes it three
+    times), and stay Expand-free (per-key two-level agg, not
+    COUNT DISTINCT)."""
+    plan = plan_of(spark, "tpch_q21_waiting")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree, plan
+    assert "CartesianProduct" not in tree, plan
+    assert "Expand" not in tree, plan
+    # the static plan shows ps inlined twice; at runtime AQE's exchange
+    # reuse dedupes the identical (l_orderkey, l_suppkey) shuffle, so
+    # the fact is read and pre-aggregated once — assert on the EXECUTED
+    # plan, where ReusedExchange is materialized
+    df = QUERIES["tpch_q21_waiting"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_q7_pair_filter_reaches_nation_scans(spark):
+    """tpch_q7's symmetric nation-pair disjunction: both nation roles
+    are pre-filtered to the two names at their scans (2-row broadcasts),
+    not post-join."""
+    plan = plan_of(spark, "tpch_q7_volume")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert sum("n_name" in l for l in pushed) >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """tpch_q22: the no-urgent-orders quantifier must be a LeftAnti hash
+    join, the one-row global-average frame is the only nested-loop
+    (broadcast Cross), and the priority predicate reaches the orders
+    scan."""
+    plan = plan_of(spark, "tpch_q22_idle_customers")
+    assert "LeftAnti" in plan, plan
+    for line in plan.split("\n\n")[0].splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderpriority" in l for l in pushed), plan
+
+
+def test_ewma_single_shuffle_single_window(spark):
+    """ewma_smooth is one user_id exchange feeding one Window node with
+    8 taps — a second exchange or stacked windows means the FIR filter
+    degenerated into multiple passes over the events table."""
+    plan = plan_of(spark, "ewma_smooth")
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in l for l in tree.splitlines()) == 1, plan
+    assert sum(
+        l.strip().startswith("Window") for l in tree.splitlines()
+    ) <= 2, plan
