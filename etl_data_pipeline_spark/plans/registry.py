@@ -104,6 +104,9 @@ _PRIORITY = [
     "tpch_q22_idle_customers",
     "tpch_q7_volume",
     "ewma_smooth",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
 ]
 
 _loaded = False

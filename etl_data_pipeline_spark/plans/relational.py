@@ -2135,3 +2135,200 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue")
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH scoped AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(38,2)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_suppkey % 2 = 0
+    ),
+    pv AS (
+      SELECT l_partkey,
+             CAST(SUM(v) * 100 AS BIGINT) AS pval_cents
+      FROM scoped GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(pval_cents) AS BIGINT) AS tot_cents,
+             COUNT(*) AS n_parts
+      FROM pv
+    )
+    SELECT l_partkey,
+           CAST(pval_cents AS DOUBLE) / 100.0 AS stock_value
+    FROM pv CROSS JOIN tot
+    WHERE 2 * pval_cents * n_parts > 3 * tot_cents
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue: important stock — parts whose scoped
+    (even-suppkey suppliers) inventory value exceeds 1.5x the mean
+    part value (GROUP BY with a HAVING that references scalar
+    subqueries over the SAME aggregate).
+
+    TPC-H's fixed-fraction threshold (0.0001/SF) must be rescaled per
+    SF by the spec itself; a mean-relative threshold is the
+    scale-invariant equivalent and keeps the result non-degenerate at
+    every sf in this corpus (9 / 107 / 1063 rows at sf0.001/0.01/0.1).
+
+    Exactness: per-part values are exact DECIMAL(38,2) sums
+    materialized as BIGINT cents; the 1.5x-mean test is the cleared
+    integer compare ``2 * pval * n_parts > 3 * tot`` — no division, no
+    float boundary. The *n_parts product can approach int64 at extreme
+    scale; swap to DECIMAL(38,2) arithmetic then, same plan shape.
+
+    Scale: the supplier scope rides a broadcast dim into the fact scan;
+    one shuffle produces the per-part aggregate; total and count come
+    from a second pass over that AGGREGATE (never the fact) and return
+    as a one-row broadcast.
+    """
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 2 == 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    scoped = li.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(38,2)").alias("v"),
+    )
+    pv = scoped.groupBy("l_partkey").agg(
+        (F.sum("v") * 100).cast("bigint").alias("pval_cents")
+    )
+    tot = pv.agg(
+        F.sum("pval_cents").cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            2 * F.col("pval_cents") * F.col("n_parts")
+            > 3 * F.col("tot_cents")
+        )
+        .select(
+            "l_partkey",
+            (F.col("pval_cents").cast("double") / 100.0).alias(
+                "stock_value"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,4))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(r) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey, mx
+    WHERE rev.r = mx.m
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: top supplier — the supplier(s) whose quarter
+    revenue EQUALS the global maximum (the view + scalar-MAX pattern;
+    returns all ties rather than an arbitrary top-1, so the answer is a
+    function of the data).
+
+    Exactness: revenue is an exact DECIMAL(38,4) sum, so the equality
+    against MAX is exact decimal identity — the one formulation of
+    argmax that cannot be flipped by accumulation order. Scale: one
+    fact shuffle on l_suppkey (date filter pushed to the scan), then a
+    one-row MAX broadcast back over the per-supplier aggregate; the
+    supplier dim broadcasts for the name. No global sort anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        # explicit, though vacuous: the downstream supplier join infers
+        # isnotnull(l_suppkey) on ONE branch of the rev subplan; stating
+        # it here keeps both branches' exchange subtrees identical so
+        # AQE reuse collapses them to a single fact scan
+        & F.col("l_suppkey").isNotNull()
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,4)"
+            )
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("m"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("m"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: parts/supplier relationship count — distinct
+    suppliers able to supply each (brand, size) combination, excluding
+    an unwanted-supplier set via NOT IN (anti join; s_suppkey is
+    non-null so the null-aware BNLJ degeneration of NOT IN — see
+    c10_null_aware_anti — cannot trigger here, and the plan stays a
+    hash anti join).
+
+    Scale: the exclusion set (negative-balance suppliers) broadcasts to
+    an anti join BEFORE the part join, so excluded suppliers' lines
+    never cross a shuffle; the brand/size predicates push into the part
+    scan and ride its broadcast. The distinct count shuffles (brand,
+    size, suppkey) once — bounded by |parts| x |suppliers|, not fact
+    rows, after map-side dedup.
+    """
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -456,3 +456,47 @@ def test_ewma_single_shuffle_single_window(spark):
     assert sum(
         l.strip().startswith("Window") for l in tree.splitlines()
     ) <= 2, plan
+
+
+def test_q11_scalar_having_never_rescans_fact(spark):
+    """tpch_q11's HAVING scalars (total, part count) must come from the
+    per-part AGGREGATE, not a second scan of lineitem — at runtime
+    AQE's exchange reuse collapses the statically-inlined pv subplan to
+    one fact scan (ReusedExchange on the executed plan)."""
+    plan = plan_of(spark, "tpch_q11_important_stock")
+    for line in plan.split("\n\n")[0].splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    df = QUERIES["tpch_q11_important_stock"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_q15_argmax_no_global_sort(spark):
+    """tpch_q15 finds the max-revenue supplier by decimal-exact equality
+    against a broadcast MAX — there must be no global Sort (the
+    rank/sort formulation funnels every supplier through one task)."""
+    plan = plan_of(spark, "tpch_q15_top_supplier")
+    tree = plan.split("\n\n")[0]
+    assert not any(
+        l.strip().startswith("Sort ") for l in tree.splitlines()
+    ), plan
+    # statically the rev subplan is inlined under both the MAX scalar
+    # and the equality filter; at runtime the identical l_suppkey
+    # exchanges dedupe to one fact scan
+    df = QUERIES["tpch_q15_top_supplier"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_q16_exclusion_anti_join_before_part_join(spark):
+    """tpch_q16's NOT IN must compile to a broadcast LeftAnti hash join
+    (s_suppkey is non-null; the null-aware BNLJ degeneration must not
+    trigger), with brand/size pushed to the part scan."""
+    plan = plan_of(spark, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("\n\n")[0], plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), plan
