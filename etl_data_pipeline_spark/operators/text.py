@@ -227,6 +227,21 @@ def minhash_lsh_pairs(
     rows ``lsh_bucket_stats`` flags oversized; route them to exact-dedup
     / cluster-by-bucket handling.  ``None`` disables the cap.
     """
+    cand = lsh_candidate_pairs(docs, num_hashes, band_size, max_bucket_size)
+    jac = exact_jaccard_on_pairs(docs, cand)
+    return jac.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate (a, b) pairs from the capped band self-join — the
+    generation stage of ``minhash_lsh_pairs``, exposed so quality
+    audits (plans/text.py::minhash_est_quality) can inspect the
+    UNVERIFIED candidate set."""
     bands = minhash_bands(docs, num_hashes, band_size)
     if max_bucket_size is not None:
         # Count per (band, band_key) via window — same key as the join
@@ -247,7 +262,7 @@ def minhash_lsh_pairs(
         F.col("band_key").alias("key_r"),
         F.col("doc_id").alias("b"),
     )
-    cand = (
+    return (
         left.join(
             right,
             (left.band_l == right.band_r)
@@ -257,8 +272,13 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # verify candidates with exact Jaccard (inverted-index join restricted
-    # to candidate pairs via semi-join on both sides)
+
+
+def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard restricted to a candidate pair set:
+    (a, b, inter, na, nb, jaccard).  Inverted-index join pinned to the
+    pairs — never all-pairs; pairs sharing zero tokens are kept with
+    inter = 0 so callers see the full candidate set."""
     t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
@@ -276,15 +296,16 @@ def minhash_lsh_pairs(
     )
     na = counts.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na"))
     nb = counts.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"))
-    jac = (
-        inter.join(na, "a")
+    return (
+        cand.join(inter, ["a", "b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(na, "a")
         .join(nb, "b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:

@@ -107,6 +107,7 @@ _PRIORITY = [
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
+    "minhash_est_quality",
 ]
 
 _loaded = False

@@ -18,10 +18,13 @@ from etl_data_pipeline_spark.operators.text import (
     LSH_MAX_BUCKET_SIZE,
     MINHASH_P,
     exact_dedup,
+    exact_jaccard_on_pairs,
     jaccard_pairs,
+    lsh_candidate_pairs,
     md5_hash32,
     minhash_bands,
     minhash_lsh_pairs,
+    minhash_signatures,
     shingles,
     simhash_fingerprints,
     tokens,
@@ -763,4 +766,106 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("g") / F.lit(1000000000000.0), 6).alias("kl_nats")
     ).select(
         "source", F.col("n_s").cast("long").alias("n_tokens"), "kl_nats"
+    )
+
+
+@query(
+    "minhash_est_quality",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """, sigj AS (
+      SELECT c.a, c.b,
+             CAST(SUM(CASE WHEN s1.minhash = s2.minhash
+                           THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+      FROM cand c
+      JOIN sig s1 ON s1.doc_id = c.a
+      JOIN sig s2 ON s2.doc_id = c.b AND s2.i = s1.i
+      GROUP BY c.a, c.b
+    ), qq AS (
+      SELECT e.est_matches,
+             COALESCE(i.inter, 0) AS inter,
+             ca.n_tok + cb.n_tok - COALESCE(i.inter, 0) AS u
+      FROM sigj e
+      LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+      JOIN counts ca ON ca.doc_id = e.a
+      JOIN counts cb ON cb.doc_id = e.b
+    )
+    SELECT est_matches,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(inter / CAST(u AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS jaccard_grid_sum,
+           CAST(SUM(CASE WHEN 5 * ABS(est_matches * u - 16 * inter)
+                              <= 28 * u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+    FROM qq GROUP BY est_matches
+    """,
+)
+def minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality gate — the ``ann_recall`` sibling for
+    the near-dup family: for every LSH candidate pair, compare the
+    signature's Jaccard estimate (matching components / 16) against the
+    EXACT token-set Jaccard, bucketed by estimate value.
+
+    Emits, per est_matches bucket (0..16): pair count, exact-jaccard
+    grid sum (the bucket's true-similarity mass), and how many pairs sit
+    within ±0.35 of the estimate — the theoretical 2.8-sigma band for a
+    16-hash signature (sd <= sqrt(j(1-j)/16) <= 0.125).  "Sketch
+    quality" is a driver-checked number, not an assertion.
+
+    Exactness: the ±0.35 band test is cleared of all division —
+    ``5*|est*u - 16*inter| <= 28*u`` in exact BIGINTs — and the jaccard
+    mass uses the 1e-6 grid-sum discipline, so every output cell is an
+    integer.  Scale: candidates come from the CAPPED band join (no
+    quadratic fan-out); the signature compare joins 16 small rows per
+    candidate on (doc, i) — linear in candidates; the exact verify is
+    the same pair-restricted inverted-index join i4b already runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(d, num_hashes=16, band_size=4)
+    jac = exact_jaccard_on_pairs(d, cand)
+    sig = minhash_signatures(d, num_hashes=16)
+    sa = sig.select(
+        F.col("doc_id").alias("sa_id"),
+        F.col("i").alias("i_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("sb_id"),
+        F.col("i").alias("i_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    est = (
+        cand.join(sa, F.col("a") == F.col("sa_id"))
+        .join(
+            sb,
+            (F.col("b") == F.col("sb_id")) & (F.col("i_a") == F.col("i_b")),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("est_matches")
+        )
+    )
+    u = F.col("na") + F.col("nb") - F.col("inter")
+    q = est.join(jac, ["a", "b"]).select(
+        "est_matches",
+        "inter",
+        u.alias("u"),
+        F.col("jaccard"),
+    )
+    return q.groupBy("est_matches").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.floor(F.col("jaccard") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("jaccard_grid_sum"),
+        F.sum(
+            F.when(
+                5 * F.abs(F.col("est_matches") * F.col("u") - 16 * F.col("inter"))
+                <= 28 * F.col("u"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within"),
     )
