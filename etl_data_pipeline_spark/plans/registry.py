@@ -108,6 +108,7 @@ _PRIORITY = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "minhash_est_quality",
+    "a17_zorder_layout",
 ]
 
 _loaded = False

@@ -500,3 +500,53 @@ def test_q16_exclusion_anti_join_before_part_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan.split("\n\n")[0], plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_brand" in l for l in pushed), plan
+
+
+def test_zorder_physical_layout_prunes_day_probe(spark):
+    """a17's physical counterpart: actually write events z-ordered
+    (repartitionByRange on the Morton code + sortWithinPartitions) and
+    linearly (by user_id), then read each back with per-file min/max
+    day boxes from _metadata — a day-band probe must intersect FEWER
+    z-ordered files than linear files (where every file spans all days,
+    so nothing prunes)."""
+    import pyspark.sql.functions as F
+
+    from etl_data_pipeline_spark.catalog import load_table
+    from etl_data_pipeline_spark.plans.modern import _Z_EXPR, _scratch2
+
+    ev = load_table(spark, SF_DIR, "events")
+    mx = ev.agg(F.max("user_id").alias("max_u"))
+    z = (
+        ev.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "day",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")),
+        )
+        .withColumn("ub", F.expr("(user_id * 32) div (max_u + 1)"))
+        .withColumn("zval", F.expr(_Z_EXPR))
+        .drop("max_u", "ub")
+    )
+    zpath = _scratch2(SF_DIR, "events_zorder")
+    lpath = _scratch2(SF_DIR, "events_linear")
+    z.repartitionByRange(8, "zval").sortWithinPartitions("zval").write.mode(
+        "overwrite"
+    ).parquet(zpath)
+    z.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(lpath)
+
+    def day_hit_files(path: str) -> tuple[int, int]:
+        boxes = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+            .collect()
+        )
+        hits = sum(1 for r in boxes if r.dmin <= 14 and r.dmax >= 8)
+        return hits, len(boxes)
+
+    z_hits, z_total = day_hit_files(zpath)
+    l_hits, l_total = day_hit_files(lpath)
+    assert l_hits == l_total, (l_hits, l_total)  # linear prunes nothing
+    assert z_hits < z_total, (z_hits, z_total)  # z-order prunes files
+    assert z_hits < l_hits, (z_hits, l_hits)
