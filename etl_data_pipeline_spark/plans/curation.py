@@ -1278,3 +1278,74 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("weight"),
         F.col("ca").cast("long").alias("cum_chars"),
     )
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '-wrs'),
+                              1, 8))::BIGINT % 1000003) + 1 AS u
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars, u,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY u / CAST(n_chars AS DOUBLE), doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS weight, CAST(u AS BIGINT) AS u
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k = 5 docs per
+    language, inclusion odds rising with n_chars — the bounded-size
+    sibling of ``pps_systematic_sample`` (which takes ~k by interval
+    coverage, not exactly k).
+
+    Method: priority sampling with UNIFORM clocks — each doc draws a
+    deterministic uniform integer u from its md5 hash and the k
+    smallest u/weight keys win (for the smallest keys P(u/w < t) ~ t*w,
+    so inclusion odds are ~proportional to weight).  The classic
+    Efraimidis-Spirakis form uses exponential clocks (-ln(u)/w) for
+    exact PPS-without-replacement odds, but ln() is not guaranteed
+    bit-identical across engines (libm vs Math.log last-ulp); the
+    uniform-clock key is ONE IEEE division of exact integers —
+    reproducible everywhere — and ranks identically for the small-key
+    region that decides the sample.  Ties (possible only if two
+    divisions land on the same double) break on doc_id.
+
+    Scale: a stateless hash per row, then a per-language top-k window
+    (WindowGroupLimit prunes to k per partition before the shuffle) —
+    no global sort, no transcendental, no RNG state.
+    """
+    from etl_data_pipeline_spark.operators.text import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            md5_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("-wrs")))
+            % 1000003
+            + 1
+        ).alias("u"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("u") / F.col("n_chars").cast("double"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            "rk",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("u").cast("long").alias("u"),
+        )
+    )

@@ -942,3 +942,189 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_s, max_s)"
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    per AS (
+      SELECT o.o_custkey AS custkey,
+             DATE_DIFF('day', CAST(MAX(o.o_orderdate) AS DATE),
+                       CAST(MIN(mx.dmax) AS DATE)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS monetary_cents
+      FROM orders o CROSS JOIN mx
+      GROUP BY o.o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days, custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m
+      FROM per
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency,
+           CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+           CAST(r AS BIGINT) AS r_quintile,
+           CAST(f AS BIGINT) AS f_quintile,
+           CAST(m AS BIGINT) AS m_quintile,
+           CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
+                  CAST(m AS VARCHAR)) AS rfm
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order, vs
+    the corpus max date), frequency (order count), monetary (exact
+    money total), each cut into quintiles, concatenated to the classic
+    'rfm' segment code.  The canonical warehouse-ETL scoring mart.
+
+    Exactness: recency diffs whole DATEs (both engines truncate the
+    timestamp identically), monetary is BIGINT cents via one decimal
+    cast, and every NTILE orders by an exact integer with a custkey
+    tiebreak — no float anywhere.
+
+    Scale: one shuffle to the per-customer grain, then three quintile
+    windows.  NTILE here is a single-partition sort over CUSTOMERS
+    (already aggregated, |customers| << |orders|); at 1e8+ customers
+    cut quintiles by range-partitioned two-phase rank (global_shuffle
+    pattern) or percentile boundaries instead — same output contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(
+                F.to_date(F.min("dmax")), F.to_date(F.max("o_orderdate"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))
+    )
+    scored = per.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r"),
+        f.alias("f"),
+        m.alias("m"),
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+        F.col("r").cast("bigint").alias("r_quintile"),
+        F.col("f").cast("bigint").alias("f_quintile"),
+        F.col("m").cast("bigint").alias("m_quintile"),
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("rfm"),
+    )
+
+
+@query(
+    "dq_fk_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+              SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+              SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (
+              SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS (
+              SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key edge of the
+    star schema, the child row count and how many children have no
+    parent (orphans) — the load-validation gate a warehouse runs after
+    every ingest, complementing dq_audit's per-column profile.
+
+    Scale: each orphan count is a LEFT ANTI join on the FK — dims
+    broadcast, the two fact-sized checks shuffle on their key once; all
+    six checks are independent so the scheduler overlaps them.  Counts
+    are exact integers (a clean corpus hashes as all-zeros orphans,
+    and any regression shows as a nonzero cell, not a flaky float).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def check(name, child, child_key, parent, parent_key) -> DataFrame:
+        orphans = child.select(child_key).join(
+            parent.select(parent_key),
+            F.col(child_key) == F.col(parent_key),
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        check("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(check("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            check("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+        .unionByName(check("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+            check("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+        .unionByName(
+            check("supplier->nation", s, "s_nationkey", n, "n_nationkey")
+        )
+    )

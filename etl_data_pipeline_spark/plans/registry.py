@@ -109,6 +109,9 @@ _PRIORITY = [
     "tpch_q16_supplier_cnt",
     "minhash_est_quality",
     "a17_zorder_layout",
+    "weighted_sample_topk",
+    "rfm_segmentation",
+    "dq_fk_orphans",
 ]
 
 _loaded = False
