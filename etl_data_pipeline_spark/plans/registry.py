@@ -112,6 +112,7 @@ _PRIORITY = [
     "weighted_sample_topk",
     "rfm_segmentation",
     "dq_fk_orphans",
+    "ivf_recall",
 ]
 
 _loaded = False
