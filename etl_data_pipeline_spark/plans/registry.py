@@ -113,6 +113,11 @@ _PRIORITY = [
     "rfm_segmentation",
     "dq_fk_orphans",
     "ivf_recall",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returned_topk",
+    "tpch_q12_priority_lines",
+    "tpch_q20_excess_share",
 ]
 
 _loaded = False

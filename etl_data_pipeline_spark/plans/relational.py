@@ -2332,3 +2332,362 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(38,4)) AS v,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+                    AND nc.n_regionkey = 0
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE) AS mkt_share,
+           CAST(SUM(v) AS DOUBLE) AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: national market share — NATION_3 suppliers'
+    slice of ECONOMY-part revenue sold to region-0 customers, per order
+    year (a share-within-group over a 6-way snowflake join where
+    nation plays BOTH roles: region filter through the customer leg,
+    share label through the supplier leg).
+
+    Exactness: numerator and denominator are exact DECIMAL(38,4) sums;
+    the share is one IEEE division (q14's discipline, here per group).
+    Scale: part (type-filtered), customer+nation (region-pruned), and
+    supplier+nation all broadcast; the only fact-scale shuffle is
+    lineitem-orders.  The region predicate prunes the CUSTOMER dim
+    before broadcast, so non-region rows die at the join, not after.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nc = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 0
+    ).select(F.col("n_nationkey").alias("nc_key"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", v).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("num"),
+        F.sum(v).alias("den"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.col("den").cast("double").alias("total_volume"),
+    )
+
+
+@query(
+    "tpch_q9_profit",
+    oracle="""
+    WITH j AS (
+      SELECT ns.n_name AS supp_nation,
+             CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(38,4)) AS rev,
+             CAST(p.p_retailprice * 0.1 * l.l_quantity
+                  AS DECIMAL(38,3)) AS cost
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE '%gear%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT supp_nation, o_year,
+           CAST(SUM(rev) AS DOUBLE) - CAST(SUM(cost) AS DOUBLE)
+             AS profit
+    FROM j GROUP BY supp_nation, o_year
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: product-type profit by supplier nation and
+    year.  The spec's ps_supplycost has no table in this corpus, so
+    cost is modeled as 10% of retail price per unit — the operator
+    shape (name-pattern dim filter, two money expressions with
+    DIFFERENT exact scales, profit = revenue minus cost) is what's
+    exercised, not the constant.
+
+    Exactness: revenue sums exactly at DECIMAL(38,4); cost at
+    DECIMAL(38,3) (2-dec retail x 0.1 x integral qty is exact on the
+    1e-3 grid); each casts once to double and the profit is ONE
+    subtraction of those two exact doubles.  Scale: the LIKE-filtered
+    part dim broadcasts; lineitem-orders is the only fact shuffle —
+    same skeleton as q8, different aggregate discipline.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    cost = (
+        F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    ).cast("decimal(38,3)")
+    return (
+        j.groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev).alias("r"), F.sum(cost).alias("c"))
+        .select(
+            "supp_nation",
+            "o_year",
+            (F.col("r").cast("double") - F.col("c").cast("double")).alias(
+                "profit"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(c.c_acctbal AS DECIMAL(38,2)) AS DOUBLE) AS acctbal,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+     AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+     AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,4))) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: top-20 customers by RETURNED revenue in one
+    quarter — the classic "who's sending product back" report (filtered
+    fact, quarter-pruned orders, customer+nation dims, exact-decimal
+    ordered top-k with a custkey tiebreak so ties can't reorder).
+
+    Scale: the returnflag filter is pushed to the lineitem scan and the
+    quarter filter to the orders scan BEFORE their join; customer and
+    nation broadcast onto the per-customer aggregate.  The top-20 is
+    ordered on the exact DECIMAL revenue (not the double), then cast
+    for output — the sort key is exact, so rank is deterministic; the
+    limit compiles to TakeOrderedAndProject (distributed top-k, no
+    global sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("decimal(38,2)").cast("double").alias(
+                "acctbal"
+            ),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: priority mix of slowly-shipped lines — per
+    return flag (standing in for the spec's ship mode, absent from this
+    corpus), how many >90-day-lag lines belong to urgent/high vs other
+    orders.  The two-sided-predicate join + complementary conditional
+    counts shape.
+
+    Scale: the join shuffles on orderkey with only (returnflag,
+    shipdate) riding the fact side; the lag predicate references both
+    sides so it evaluates at the join (not pushable) — the counts are
+    map-side-combinable integers after it.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_share",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+      SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS t
+      FROM ps GROUP BY l_partkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+      WHERE 8 * ps.q > pt.t
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN excess e ON e.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey < 5
+    """,
+)
+def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: suppliers dominating a part's supply — the
+    nested-IN chain (suppliers IN (... parts ...)) rewritten as
+    aggregate -> rollup -> DISTINCT semi probe, finding nation-0..4
+    suppliers that shipped more than an EIGHTH of some part's total quantity
+    (the spec's excess-stock predicate with the availqty table absent;
+    1/8 keeps the result non-degenerate at every sf: 1/15/65 suppliers
+    at sf0.001/0.01/0.1 vs zero for a half-share test on this corpus).
+
+    Exactness: quantity sums and the share test (``8q > t``) are exact
+    BIGINTs.  Scale: the fact aggregates once to (part, supplier); the
+    part rollup reuses the same rows (q21's ReusedExchange pattern
+    applies: both consumers hash on the aggregate's keys); the final
+    probe is a semi-shaped join onto the 100-row supplier dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).filter(
+        # vacuous (keys are non-null) but keeps the two consumers of ps
+        # byte-identical below their exchanges — the downstream joins
+        # infer isnotnull on ONE branch only otherwise, which blocks
+        # AQE exchange reuse (same fix as tpch_q15)
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("q").cast("bigint").alias("t")
+    )
+    excess = (
+        ps.join(pt, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(8 * F.col("q") > F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 5
+    ).select("s_suppkey", "s_name")
+    return sup.join(
+        excess, F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name")

@@ -550,3 +550,36 @@ def test_zorder_physical_layout_prunes_day_probe(spark):
     assert l_hits == l_total, (l_hits, l_total)  # linear prunes nothing
     assert z_hits < z_total, (z_hits, z_total)  # z-order prunes files
     assert z_hits < l_hits, (z_hits, l_hits)
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """tpch_q10's top-20 must compile to TakeOrderedAndProject
+    (distributed top-k on the exact decimal key), never a global
+    sort + limit; both scan-side filters must push."""
+    plan = plan_of(spark, "tpch_q10_returned_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed), plan
+    assert any("o_orderdate" in l for l in pushed), plan
+
+
+def test_q8_q9_snowflake_broadcasts(spark):
+    """q8/q9: every dim leg broadcasts (part/customer/supplier/nation);
+    the only fact-scale join is lineitem-orders — no cartesian, no
+    BNLJ anywhere in the snowflake."""
+    for name in ("tpch_q8_market_share", "tpch_q9_profit"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        assert "BroadcastNestedLoopJoin" not in tree, name
+        assert tree.count("BroadcastHashJoin") >= 3, (name, tree)
+
+
+def test_q20_aggregate_rollup_reuses_exchange(spark):
+    """tpch_q20's part rollup and its join-back both hash the
+    (part, supplier) aggregate on l_partkey — AQE must collapse them
+    to one shuffle at runtime (the q21 pattern)."""
+    df = QUERIES["tpch_q20_excess_share"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
