@@ -236,3 +236,107 @@ def test_kcore_peel_rounds_match_python(spark, edges, k):
         py = {(u, v) for u, v in py if u in keep and v in keep}
     expected = {u: d for u, d in pd_deg.items() if d >= k}
     assert survivors == expected
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # orderkey
+            st.integers(min_value=0, max_value=4),      # suppkey
+            st.booleans(),                              # late?
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q21_rewrite_matches_bruteforce_quantifiers(spark, rows):
+    """tpch_q21's per-(order, supplier) aggregate rewrite must agree
+    with the literal EXISTS + NOT EXISTS semantics on ANY input: count
+    late lines l1 such that the order has another supplier AND no other
+    supplier is late — evaluated here row-by-row in Python."""
+    # brute force, straight from the quantifier definition
+    from collections import defaultdict
+
+    expected = defaultdict(int)
+    for ok, sk, late in rows:
+        if not late:
+            continue
+        other_supp = any(s != sk for o, s, _ in rows if o == ok)
+        other_late = any(
+            s != sk and lt for o, s, lt in rows if o == ok
+        )
+        if other_supp and not other_late:
+            expected[sk] += 1
+    expected = {k: v for k, v in expected.items() if v}
+
+    # the rewrite (mirrors tpch_q21_waiting's ps/po shape)
+    df = spark.createDataFrame(
+        rows, "orderkey int, suppkey int, is_late boolean"
+    )
+    ps = df.groupBy("orderkey", "suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late")
+    )
+    po = ps.groupBy(F.col("orderkey").alias("po_ok")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.when(F.col("n_late") > 0, 1).otherwise(0)).alias(
+            "n_late_supps"
+        ),
+    )
+    got = {
+        r.suppkey: r.numwait
+        for r in (
+            ps.join(po, F.col("orderkey") == F.col("po_ok"))
+            .filter(
+                (F.col("n_late") > 0)
+                & (F.col("n_supps") >= 2)
+                & (F.col("n_late_supps") == 1)
+            )
+            .groupBy("suppkey")
+            .agg(F.sum("n_late").alias("numwait"))
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    series=st.lists(
+        st.integers(min_value=-1000, max_value=1000),  # grid values
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ewma_fir_matches_direct_convolution(spark, series):
+    """ewma_smooth's 8-tap LAG formulation must equal the direct FIR
+    convolution computed in Python for any single-user series: num =
+    sum of v[t-i] * 2^(7-i) over present taps, den = matching weight
+    sum."""
+    rows = [(i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "t int, v long")
+    w = Window.orderBy("t")
+    lags = [F.col("v")] + [F.lag("v", i).over(w) for i in range(1, 8)]
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    num = sum(
+        (F.coalesce(lag, F.lit(0)) * weights[i] for i, lag in enumerate(lags)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(lag.isNull(), 0).otherwise(weights[i])
+            for i, lag in enumerate(lags)
+        ),
+        start=F.lit(0),
+    )
+    got = {
+        r.t: (r.num, r.den)
+        for r in df.select(
+            "t", num.alias("num"), den.alias("den")
+        ).collect()
+    }
+    for t in range(len(series)):
+        taps = [(series[t - i], 128 >> i) for i in range(8) if t - i >= 0]
+        exp_num = sum(v * wt for v, wt in taps)
+        exp_den = sum(wt for _, wt in taps)
+        assert got[t] == (exp_num, exp_den), t
