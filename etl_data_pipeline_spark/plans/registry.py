@@ -118,9 +118,13 @@ _PRIORITY = [
     "tpch_q10_returned_topk",
     "tpch_q12_priority_lines",
     "tpch_q20_excess_share",
-    # perf rewrites from the sf0.1 registry sweep (results unchanged)
+    # perf rewrites from the sf0.1 registry sweep / two-scale slope
+    # check (c9/ivf results unchanged; fuzzy regrained to distinct
+    # names).  _PRIORITY now holds exactly 50 names — the full driver
+    # window, matching the 50 that held in r04.
     "c9_nullsafe_join",
     "ivf_ann",
+    "fuzzy_levenshtein",
 ]
 
 _loaded = False
