@@ -583,3 +583,15 @@ def test_q20_aggregate_rollup_reuses_exchange(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_priority_window_hygiene():
+    """_PRIORITY must stay within the driver's ~50-entry correctness
+    window, free of duplicates and stale names — a misspelled entry
+    silently forfeits a fresh-evidence slot."""
+    from etl_data_pipeline_spark.plans.registry import _PRIORITY, QUERIES
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names"
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    assert not unknown, unknown
+    assert len(_PRIORITY) <= 50, len(_PRIORITY)
