@@ -48,6 +48,7 @@ _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.curation",
     "etl_data_pipeline_spark.plans.timeseries",
     "etl_data_pipeline_spark.plans.modern",
+    "etl_data_pipeline_spark.plans.sketches",
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run

@@ -436,3 +436,51 @@ def test_mmr_skips_near_duplicate_for_diverse_pick(spark):
     assert out["vec_id"].tolist() == [1, 3], out
     # and the duplicate's would-be score is dominated: rank-2 score > 0
     assert out["mmr_score"].iloc[1] > 0
+
+
+def test_misra_gries_guarantee_on_adversarial_streams():
+    """Authority test for heavy_hitters_mg: the per-partition MG fold
+    honours the classic bound on ANY stream — estimates never exceed
+    true counts, undercount <= n/(k+1), at most k survivors — including
+    an adversarial rotation designed to maximize evictions."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_data_pipeline_spark.plans.sketches import misra_gries_partial
+
+    rng = np.random.default_rng(7)
+    streams = [
+        rng.integers(0, 40, size=1000),                  # uniform, 40 > k
+        rng.zipf(1.5, size=1000) % 100,                  # skewed
+        np.arange(2000) % 23,                            # rotation
+        np.concatenate([np.full(500, 9), rng.integers(0, 60, 500)]),
+    ]
+    k = 16
+    for xs in streams:
+        batches = [
+            pd.DataFrame({"item": pd.Series(xs[i : i + 100], dtype="int64")})
+            for i in range(0, len(xs), 100)
+        ]
+        (summary,) = list(misra_gries_partial(iter(batches), k=k))
+        assert len(summary) <= k
+        true = pd.Series(xs).value_counts()
+        n = len(xs)
+        est = dict(zip(summary["item"], summary["est"]))
+        for item, t in true.items():
+            e = est.get(item, 0)
+            assert e <= t, (item, e, t)
+            assert (t - e) * (k + 1) <= n, (item, e, t, n)
+        # completeness: every item above n/(k+1) must survive
+        for item, t in true.items():
+            if t * (k + 1) > n:
+                assert item in est
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Authority test for bloom_membership: a Bloom filter may false-
+    positive but NEVER false-negative — every reference member must hit."""
+    pdf = QUERIES["bloom_membership"](spark, SF_DIR).toPandas()
+    members = pdf[pdf["is_member"] == 1]
+    assert len(members) > 0
+    assert (members["bloom_hit"] == 1).all()
+    assert (pdf["false_pos"] == pdf["bloom_hit"] * (1 - pdf["is_member"])).all()

@@ -595,3 +595,21 @@ def test_priority_window_hygiene():
     unknown = [n for n in _PRIORITY if n not in QUERIES]
     assert not unknown, unknown
     assert len(_PRIORITY) <= 50, len(_PRIORITY)
+
+
+def test_bloom_membership_probe_is_broadcast(spark):
+    """The 66-word bitmap must reach the probe side as a broadcast join
+    (production shape: the filter ships to executors; the corpus never
+    shuffles), and nothing in the plan may cartesian-expand."""
+    plan = plan_of(spark, "bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_partials_stay_distributed(spark):
+    """MG partials merge via a groupBy sum (map-side combinable), and the
+    only driver-bound data is the final above-threshold slice; the plan
+    must show the mapInPandas stage feeding a hash aggregate."""
+    plan = plan_of(spark, "heavy_hitters_mg")
+    assert "MapInPandas" in plan
+    assert "HashAggregate" in plan
