@@ -1149,3 +1149,122 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             check("supplier->nation", s, "s_nationkey", n, "n_nationkey")
         )
     )
+
+
+def _skyline_block(batches):
+    """Exact 2-D skyline (min price, max size) of one partition's rows.
+
+    Vectorized: sort by (price asc, size desc); within a price group only
+    the max-size row can be on the front; across strictly-increasing
+    prices a survivor needs size strictly above the running max.  Output
+    of a partition-local pass is a superset-free LOCAL front — the union
+    of local fronts provably contains the global front (dominance is
+    transitive), which a second single-partition pass reduces exactly.
+    """
+    import pandas as pd
+
+    pdf = pd.concat(list(batches), ignore_index=True)
+    if len(pdf) == 0:
+        yield pdf
+        return
+    pdf = pdf.sort_values(
+        ["p_retailprice", "p_size"], ascending=[True, False], kind="mergesort"
+    )
+    first_per_price = ~pdf["p_retailprice"].duplicated(keep="first")
+    pdf = pdf[first_per_price]
+    running = pdf["p_size"].cummax().shift(fill_value=-(10**9))
+    yield pdf[pdf["p_size"] > running]
+
+
+@query(
+    "skyline_price_size",
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice, p_size, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_retailprice, p_size
+    )
+    SELECT p.p_retailprice, p.p_size, p.n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: the parts no other part dominates on
+    (cheaper-or-equal price, larger-or-equal size, strictly better in
+    one) — the classic multi-criteria shortlist operator (Borzsony et
+    al., ICDE'01).
+
+    Distributed two-phase plan: (1) distinct (price, size) points with
+    multiplicity, (2) partition-local exact skyline via mapInPandas —
+    each task emits only its own front, O(points) work after a local
+    sort, (3) the union of local fronts (tiny: the front of n random
+    2-d points is O(log n) in expectation) collapses to one partition
+    for the exact global reduce.  No self-join, no cartesian: the
+    oracle's NOT EXISTS is the spec, not the plan.  Comparisons are on
+    raw parquet doubles (bit-identical in both engines); no arithmetic
+    touches the values.
+    """
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_retailprice", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    schema = "p_retailprice double, p_size int, n_parts long"
+    local = pts.mapInPandas(_skyline_block, schema=schema)
+    return local.repartition(1).mapInPandas(_skyline_block, schema=schema)
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, c.n,
+           (c.n * 1000000) // CAST(t.total AS BIGINT) AS pct_grid,
+           CAST(FLOOR(LOG10(1 + 1.0 / c.digit) * 1000000) AS BIGINT)
+             AS benford_grid
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of ``o_totalprice``: observed first-significant-
+    digit distribution vs the Benford expectation log10(1 + 1/d) — the
+    classic fraud/synthetic-data screen for financial columns (a DQ
+    sibling of ``dq_audit``; synthetic TPC-H amounts are uniform-ish, so
+    the deviation itself is the finding the audit reports).
+
+    Exactness: the first digit comes from FLOOR (exact on doubles) ->
+    BIGINT -> string prefix — no ROUND on money doubles ever; observed
+    shares are exact integer division on the 1e-6 grid; the Benford
+    reference is a single LOG10 of a small rational, floored onto the
+    same grid.  Scale: one map-side-combined groupBy over 9 cells plus a
+    broadcast single-row total.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("(n * 1000000) div total").alias("pct_grid"),
+        F.floor(F.log10(1 + 1.0 / F.col("digit")) * 1000000)
+        .cast("long")
+        .alias("benford_grid"),
+    )

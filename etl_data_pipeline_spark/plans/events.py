@@ -441,3 +441,63 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("string").alias("ts_s"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), t AS (
+      SELECT prev_type, SUM(n) AS row_total FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(t.row_total AS BIGINT) AS row_total,
+           (c.n * 1000000) // CAST(t.row_total AS BIGINT) AS p_grid
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    count of (previous event_type -> next event_type) steps and the
+    transition probability on the exact 1e-6 integer grid. The standard
+    behavioral-analytics summary (what do users do after an error?) and
+    the input to Markov-chain attribution models.
+
+    Determinism: the sequence order is (ts, event_id) — event_id breaks
+    timestamp ties identically in both engines; probabilities are exact
+    integer division (n * 1e6 div row_total), no doubles anywhere.
+    Scale: one window shuffle partitioned by user_id (state per task is
+    a single previous row), one groupBy over |event_types|^2 cells, and
+    a row-total join over |event_types| rows — output is O(k^2), tiny
+    at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return c.join(t, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.col("row_total").cast("long").alias("row_total"),
+        F.expr("(n * 1000000) div row_total").alias("p_grid"),
+    )

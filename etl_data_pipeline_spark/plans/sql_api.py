@@ -386,3 +386,83 @@ def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM base
+    GROUP BY o_orderpriority
+    ORDER BY n_orders DESC, o_orderpriority
+    LIMIT 3
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP (Spark 4): SQL pipe syntax (`|>`) — the linear
+    table-to-table form Spark 4.0 added (same operators, pipeline
+    order instead of inside-out SQL). The plan is identical to the
+    ANSI equivalent (Catalyst parses both into the same logical tree),
+    which is exactly what the oracle asserts: a pushed filter, one
+    map-side-combined agg, and a TopK sort.
+
+    DECIMAL(18,2) exact money sums per the house rule; DuckDB has no
+    pipe syntax, so the oracle is the desugared ANSI query.
+    """
+    _view(spark, sf_dir, "orders")
+    t = _tag(sf_dir)
+    return spark.sql(f"""
+        FROM orders_{t}
+        |> WHERE o_orderstatus = 'O'
+        |> SELECT o_custkey, o_orderpriority, o_totalprice
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total_value
+           GROUP BY o_orderpriority
+        |> ORDER BY n_orders DESC, o_orderpriority
+        |> LIMIT 3
+    """)
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE c_acctbal > 100.0 AND n_name LIKE 'NATION_1%'
+    GROUP BY n_name
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP (Spark 3.4+): named-parameter SQL — ``spark.sql(query,
+    args={...})`` binds values server-side as literals AFTER parsing,
+    the injection-safe path for templated production queries (vs f-string
+    splicing). Parameters cover a numeric threshold and a LIKE pattern;
+    the oracle inlines the same constants.
+    """
+    _view(spark, sf_dir, "customer")
+    _view(spark, sf_dir, "nation")
+    t = _tag(sf_dir)
+    return spark.sql(
+        f"""
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_balance
+        FROM customer_{t} JOIN nation_{t} ON n_nationkey = c_nationkey
+        WHERE c_acctbal > :min_bal AND n_name LIKE :pat
+        GROUP BY n_name
+        """,
+        args={"min_bal": 100.0, "pat": "NATION_1%"},
+    )

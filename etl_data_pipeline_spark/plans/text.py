@@ -869,3 +869,83 @@ def minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_within"),
     )
+
+
+@query(
+    "bigram_lm_score",
+    oracle=_TOKENS_CTE
+    + """
+    , arr AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents
+    ), bi AS (
+      SELECT doc_id, UNNEST(a[:-2]) AS w1, UNNEST(a[2:]) AS w2 FROM arr
+    ), bic AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+    ), pre AS (
+      SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT token) AS v FROM toks
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bi,
+           CAST(SUM(CAST(FLOOR(LN(CAST(c.c12 + 1 AS DOUBLE) / (p.c1 + vv.v))
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS logp_grid_sum
+    FROM bi b
+    JOIN bic c ON c.w1 = b.w1 AND c.w2 = b.w2
+    JOIN pre p ON p.w1 = b.w1
+    CROSS JOIN vocab vv
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring — the second-order sibling of
+    ``unigram_lm_score``: score(doc) = sum over adjacent token pairs of
+    ln P(w2 | w1) under an add-1-smoothed corpus bigram model,
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1 as prefix) + |V|). Garbled or
+    shuffled text scores low even when its unigram mix looks normal —
+    the standard next step up in LM-proxy quality filtering.
+
+    Exactness: each term is one integer-ratio division -> LN -> 1e-6
+    grid floor, summed as BIGINT (``grid_sum`` discipline — order-
+    independent, unlike a double AVG). Scale: bigrams come from the
+    shift-zip (no self-join); the bigram/prefix count joins carry no
+    broadcast hint (vocab is unbounded at 100 TB — same reasoning as
+    ``pmi_bigrams``), leaving strategy to AQE; one shuffle per count +
+    the final per-doc agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arr = d.select("doc_id", F.split("text", " ").alias("a"))
+    bi = arr.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("a"), 1, F.size("a") - 1),
+                F.slice(F.col("a"), 2, F.size("a") - 1),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pre = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        tokens(d)
+        .select("token")
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    term = (
+        bi.join(bic, ["w1", "w2"])
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bi"),
+        F.sum(F.floor(F.col("logp") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("logp_grid_sum"),
+    )

@@ -610,3 +610,93 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double") / F.lit(1000000.0)
         ).alias("ewma"),
     )
+
+
+#: CUSUM tuning on the exact cents grid: reference drift (subtracted per
+#: step) and alarm threshold. 60.00 sits above the value mean (~49.6) so
+#: the statistic hovers near zero and only sustained or extreme bursts
+#: climb; 300.00 is ~5 reference units of accumulated excess.
+CUSUM_K_REF = 6_000
+CUSUM_H = 30_000
+
+
+def _cusum_user(pdf):
+    """One user's CUSUM pass: S_i = max(0, S_{i-1} + (v_i - k)); alarm
+    and reset when S crosses h. O(1) state, O(rows) time per key."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    s = alarms = mx = 0
+    for v in pdf["v"]:
+        s = max(0, s + int(v) - CUSUM_K_REF)
+        mx = max(mx, s)
+        if s > CUSUM_H:
+            alarms += 1
+            s = 0
+    return pd.DataFrame(
+        [[int(pdf["user_id"].iloc[0]), len(pdf), alarms, mx]],
+        columns=["user_id", "n_events", "n_alarms", "max_s"],
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), nn AS (
+      SELECT user_id, MAX(rn) AS n_events FROM seq GROUP BY user_id
+    ), rec AS (
+      SELECT user_id, 0::BIGINT AS rn, 0::BIGINT AS s,
+             0::BIGINT AS n_alarms, 0::BIGINT AS max_s
+      FROM (SELECT DISTINCT user_id FROM seq)
+      UNION ALL
+      SELECT r.user_id, r.rn + 1,
+             CASE WHEN GREATEST(0, r.s + q.v - {CUSUM_K_REF}) > {CUSUM_H}
+                  THEN 0
+                  ELSE GREATEST(0, r.s + q.v - {CUSUM_K_REF}) END,
+             r.n_alarms
+               + CASE WHEN GREATEST(0, r.s + q.v - {CUSUM_K_REF}) > {CUSUM_H}
+                      THEN 1 ELSE 0 END,
+             GREATEST(r.max_s, GREATEST(0, r.s + q.v - {CUSUM_K_REF}))
+      FROM rec r JOIN seq q ON q.user_id = r.user_id AND q.rn = r.rn + 1
+    )
+    SELECT r.user_id,
+           CAST(nn.n_events AS BIGINT) AS n_events,
+           r.n_alarms, r.max_s
+    FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n_events
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint/burst detection over the event stream:
+    the one-sided cumulative-sum statistic S_i = max(0, S_{{i-1}} +
+    (value_i - k)) with alarm-and-reset at threshold h (Page, 1954) —
+    the standard sequential drift detector for metrics pipelines.
+
+    The recursion is inherently sequential PER KEY, so the Spark plan is
+    the canonical stateful grouped-map: one shuffle on user_id, then
+    ``applyInPandas`` holding O(1) state per key — exactly how the
+    streaming siblings (j7) carry state, here in batch form. The oracle
+    is the same recursion as a DuckDB recursive CTE, so the parity check
+    covers the full alarm/reset semantics, not just row counts.
+
+    Exactness: values land on the cents grid via FLOOR(v*100 + 0.5) —
+    one IEEE multiply-add + floor, bit-identical cross-engine, never
+    ROUND on doubles — and everything after is BIGINT algebra. Scale:
+    state per key is three integers; keys fan out across executors;
+    no driver participation.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _cusum_user,
+        schema="user_id long, n_events long, n_alarms long, max_s long",
+    )

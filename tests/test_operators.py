@@ -484,3 +484,80 @@ def test_bloom_membership_no_false_negatives(spark):
     assert len(members) > 0
     assert (members["bloom_hit"] == 1).all()
     assert (pdf["false_pos"] == pdf["bloom_hit"] * (1 - pdf["is_member"])).all()
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """Authority test for skyline_price_size: the two-phase distributed
+    skyline equals the O(n^2) dominance definition on random points,
+    including duplicate coordinates and ties along both axes."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    prices = rng.integers(1, 12, size=80).astype(float)
+    sizes = rng.integers(1, 12, size=80)
+    rows = [(float(p), int(s)) for p, s in zip(prices, sizes)]
+    df = spark.createDataFrame(rows, "p_retailprice double, p_size int")
+    pts = df.groupBy("p_retailprice", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    from etl_data_pipeline_spark.plans.etl import _skyline_block
+
+    schema = "p_retailprice double, p_size int, n_parts long"
+    got = (
+        pts.repartition(5)
+        .mapInPandas(_skyline_block, schema=schema)
+        .repartition(1)
+        .mapInPandas(_skyline_block, schema=schema)
+        .toPandas()
+    )
+    uniq = {(p, s) for p, s in rows}
+    front = {
+        (p, s)
+        for (p, s) in uniq
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for (q, t) in uniq
+        )
+    }
+    assert set(zip(got["p_retailprice"], got["p_size"])) == front
+
+
+def test_cusum_alarm_and_reset_semantics(spark):
+    """Authority test for cusum_changepoint: a crafted sequence with a
+    timestamp tie (order must fall back to event_id), a sub-threshold
+    climb, an alarm crossing, and a post-reset rebuild."""
+    import datetime as dt
+
+    from etl_data_pipeline_spark.plans.timeseries import _cusum_user
+
+    t0 = dt.datetime(2024, 1, 1)
+    # v grid units; K_REF=6000, H=30000
+    rows = [
+        # (event_id, ts, value): +20000 twice (S=14000, 28000 no alarm),
+        # +20000 again -> S=42000 > H: alarm, reset; then tie-ordered pair
+        (1, t0, 260.00),
+        (2, t0 + dt.timedelta(seconds=1), 260.00),
+        (3, t0 + dt.timedelta(seconds=2), 260.00),
+        (5, t0 + dt.timedelta(seconds=3), 400.00),   # tie: id 4 first
+        (4, t0 + dt.timedelta(seconds=3), 0.01),
+    ]
+    ev = spark.createDataFrame(
+        [(1, i, t, v) for (i, t, v) in rows],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    got = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        )
+        .groupBy("user_id")
+        .applyInPandas(
+            _cusum_user,
+            schema="user_id long, n_events long, n_alarms long, max_s long",
+        )
+        .toPandas()
+    )
+    # by hand: S: 20000, 40000>H alarm reset, 20000, (id4) 20000+1-6000
+    # =14001, (id5) 14001+40000-6000=48001>H alarm reset -> 2 alarms
+    assert got.iloc[0]["n_alarms"] == 2
+    assert got.iloc[0]["max_s"] == 48001
+    assert got.iloc[0]["n_events"] == 5
