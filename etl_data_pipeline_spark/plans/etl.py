@@ -1268,3 +1268,104 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("benford_grid"),
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ), tot AS (
+      SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw
+      FROM vals GROUP BY l_returnflag
+    ), cum AS (
+      SELECT l_returnflag, price, w,
+             CAST(SUM(w) OVER (
+               PARTITION BY l_returnflag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cw
+      FROM vals
+    )
+    SELECT c.l_returnflag,
+           MIN(c.price) AS weighted_median_price,
+           MIN(t.tw) AS total_weight
+    FROM cum c JOIN tot t USING (l_returnflag)
+    WHERE 2 * c.cw >= t.tw
+    GROUP BY c.l_returnflag
+    """,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower weighted median) of
+    ``l_extendedprice`` per return flag, weighted by quantity: the
+    smallest price whose cumulative weight reaches half the group total
+    — the robust "typical value weighted by volume" statistic
+    (unweighted medians live in d8/rolling_median; this is the
+    frequency-weighted sibling).
+
+    Exactness: weights collapse to exact BIGINTs per distinct price
+    first, the running total is an integer window sum over the price
+    order (distinct prices, so the order is total and engine-agnostic),
+    and the half-total test is the division-free ``2*cum >= total``.
+    The selected price is a raw parquet double — no arithmetic touches
+    it. Scale: the distinct-price pre-aggregation caps the window input
+    at |distinct values| per group; one shuffle for the agg, one for
+    the per-group window, then a broadcast-size join on |groups| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    tot = vals.groupBy("l_returnflag").agg(F.sum("w").cast("long").alias("tw"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "l_returnflag", "price", F.sum("w").over(wcum).cast("long").alias("cw")
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "e1d_cume_dist_nth",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CUME_DIST() OVER w AS cd,
+           NTH_VALUE(c_name, 2) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def e1d_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 completion: the last two unpinned window functions —
+    CUME_DIST (fraction of partition at-or-below the current row) and
+    NTH_VALUE over a full-partition frame (the partition's second row by
+    account balance), per nation.
+
+    Determinism: the order key (c_acctbal, c_custkey) is a total order,
+    so cume_dist is exactly rank/n (one integer division per row —
+    identical doubles cross-engine) and nth_value picks one well-defined
+    row. Scale: one shuffle on c_nationkey, both functions evaluated in
+    the same window pass.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_name", 2).over(wf).alias("second_poorest"),
+    )

@@ -501,3 +501,221 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_total").cast("long").alias("row_total"),
         F.expr("(n * 1000000) div row_total").alias("p_grid"),
     )
+
+
+@query(
+    "c8c_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  MAX(CASE WHEN v.ts <= p.ts THEN v.ts END) AS prev_ts,
+                  MIN(CASE WHEN v.ts >  p.ts THEN v.ts END) AS next_ts
+           FROM p LEFT JOIN v
+             ON v.user_id = p.user_id
+            AND v.ts >= p.ts - INTERVAL 72 HOUR
+            AND v.ts <= p.ts + INTERVAL 72 HOUR
+           GROUP BY p.event_id, p.user_id, p.ts
+         )
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS purchase_ts,
+           CAST(CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+             ELSE next_ts END AS VARCHAR) AS nearest_view_ts,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN 'backward'
+             WHEN prev_ts IS NULL THEN 'forward'
+             WHEN ts - prev_ts <= next_ts - ts THEN 'backward'
+             ELSE 'forward' END AS direction
+    FROM j
+    """,
+)
+def c8c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 nearest variant (pandas ``merge_asof(direction='nearest')``
+    semantics, tie -> backward): for each purchase, the closest view by
+    the same user within ±72 h in EITHER direction, plus which side won.
+    Completes the as-of triad: backward (c8), forward (c8b), nearest.
+
+    Same join-free plan as c8b, doubled: one tagged stream, two RANGE
+    frames over epoch-micros — max view in (-72h .. 0] (ties at 0 are
+    backward-eligible, matching ``v.ts <= p.ts``) and min view in
+    (+1us .. +72h] — then an integer CASE picks the smaller distance.
+    One shuffle on user_id, linear scan per partition; the oracle is the
+    quadratic-but-small join+conditional-extrema formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h72 = 72 * 3600 * 1_000_000
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias("view_us"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("us").rangeBetween(-h72, 0)
+    wf = Window.partitionBy("user_id").orderBy("us").rangeBetween(1, h72)
+    out = tagged.withColumn("prev_us", F.max("view_us").over(wb)).withColumn(
+        "next_us", F.min("view_us").over(wf)
+    )
+    us, prev_us, next_us = F.col("us"), F.col("prev_us"), F.col("next_us")
+    nearest = (
+        F.when(prev_us.isNull(), next_us)
+        .when(next_us.isNull(), prev_us)
+        .when(us - prev_us <= next_us - us, prev_us)
+        .otherwise(next_us)
+    )
+    direction = (
+        F.when(prev_us.isNull() & next_us.isNull(), F.lit(None).cast("string"))
+        .when(next_us.isNull(), F.lit("backward"))
+        .when(prev_us.isNull(), F.lit("forward"))
+        .when(us - prev_us <= next_us - us, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.timestamp_micros(nearest).cast("string").alias("nearest_view_ts"),
+        direction.alias("direction"),
+    )
+
+
+@query(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             EPOCH_US(ts) AS s,
+             EPOCH_US(ts) + 1800000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ), per_island AS (
+      SELECT user_id, island,
+             MAX(e) - MIN(s) AS len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS covered_us,
+           CAST(MAX(len) AS BIGINT) AS longest_us
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union: give each event a 30-minute
+    activity interval, merge every overlapping-or-touching run per user
+    into one island, and report per user the island count, total covered
+    time, and longest island — the classic "actual usage time" rollup
+    (interval union length), which naive SUM-of-durations double-counts.
+
+    The island detector is the standard two-window pass: a row starts a
+    new island iff its start exceeds the running MAX of all previous
+    ends (ROWS .. 1 PRECEDING — handles contained intervals that a LAG
+    of the immediately-previous end would miss); the running SUM of
+    those flags numbers the islands. All arithmetic is epoch-micros
+    BIGINTs. Scale: one shuffle on user_id, two window passes and two
+    aggs over the same partitioning — no joins, no state beyond the
+    window frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id", "event_id", s.alias("s"), (s + 1_800_000_000).alias("e")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len").cast("long").alias("covered_us"),
+        F.max("len").cast("long").alias("longest_us"),
+    )
+
+
+@query(
+    "session_path_trigrams",
+    oracle=_SESSION_ORACLE
+    + """
+    , ordered AS (
+      SELECT user_id, session_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: the 15 most common 3-step event-type
+    paths WITHIN a 30-minute-gap session (sessionization reused from J3;
+    paths never straddle a session boundary — the third-order sibling of
+    ``event_transition_matrix``, which is corpus-wide and first-order).
+
+    Plan: sessionize (one shuffle on user_id) -> two LEADs over the
+    in-session order (same shuffle reused — the session window and the
+    LEAD window share partitioning) -> global count + TopK. Path space
+    is |event_types|^3 so the agg output is tiny at any scale; ordering
+    ties broken by path string both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ordered = sess.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        ordered.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )

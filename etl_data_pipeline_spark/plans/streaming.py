@@ -245,3 +245,22 @@ def j12_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sliding_counts_with_watermark(spark, sf_dir, _tag(sf_dir))
+
+
+@query(
+    "j13_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def j13_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: stream-static broadcast enrichment (see streaming/jobs.py) —
+    completes the join surface: stream-stream (j9) + stream-static.
+    EXACT batch oracle: the join is stateless and the complete-mode agg
+    over all micro-batches equals the batch join's group counts."""
+    from etl_data_pipeline_spark.streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir, _tag(sf_dir))

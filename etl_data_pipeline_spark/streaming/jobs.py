@@ -334,3 +334,30 @@ def sliding_counts_with_watermark(
         .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
     )
     return _run_to_memory(agg, _unique("j12_sliding"), "append")
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, scratch_dir: str
+) -> DataFrame:
+    """J13: stream-static join — the standard streaming-enrichment
+    pattern: each micro-batch of the event stream joins against a batch
+    dimension (customer, keyed by the synthetic user->customer FK
+    ``c_custkey = user_id + 1``), then aggregates per (segment, type).
+
+    Stream-static joins are stateless (no watermark needed — the static
+    side is re-planned per micro-batch, so a dim update would be picked
+    up), and the dim side is broadcastable: this is the 100 TB shape for
+    "attach account metadata to a clickstream". Complete-mode agg over
+    2 micro-batches; counts are batch-equal, hence the exact oracle.
+    """
+    staged = stage_event_files(spark, sf_dir, os.path.join(scratch_dir, "j13"))
+    stream = _read_staged_stream(spark, staged)
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return _run_to_memory(agg, _unique("j13_enrich"), "complete")

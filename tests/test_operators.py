@@ -561,3 +561,95 @@ def test_cusum_alarm_and_reset_semantics(spark):
     assert got.iloc[0]["n_alarms"] == 2
     assert got.iloc[0]["max_s"] == 48001
     assert got.iloc[0]["n_events"] == 5
+
+
+def test_interval_coverage_matches_bruteforce_union(spark):
+    """Authority test for interval_coverage: island merge equals the
+    O(n^2) interval-union computation on random overlapping intervals,
+    including contained intervals (which a LAG-of-previous-end detector
+    would mis-split) and exact-touch boundaries."""
+    import datetime as dt
+
+    import numpy as np
+
+    from etl_data_pipeline_spark.plans import QUERIES
+
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(4):
+        for _ in range(30):
+            start = int(rng.integers(0, 10_000))
+            rows.append((eid, uid, t0 + dt.timedelta(seconds=start)))
+            eid += 1
+    # exact-touch pair: [0,1800] and [1800,3600] must merge
+    rows.append((eid, 9, t0)); eid += 1
+    rows.append((eid, 9, t0 + dt.timedelta(seconds=1800))); eid += 1
+    ev = spark.createDataFrame(
+        [(e, t, u, "view", 1.0, "{}") for (e, u, t) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import etl_data_pipeline_spark.catalog as catalog
+
+    orig = catalog.load_table
+    try:
+        catalog_load = lambda sp, sf, name: ev  # noqa: E731
+        import etl_data_pipeline_spark.plans.events as events_mod
+
+        events_mod.load_table = catalog_load
+        got = (
+            QUERIES["interval_coverage"](spark, "ignored")
+            .toPandas()
+            .set_index("user_id")
+        )
+    finally:
+        events_mod.load_table = orig
+    L = 1_800_000_000
+    for uid in {u for (_, u, _) in rows}:
+        ivs = sorted(
+            (
+                int(t.timestamp() * 1_000_000),
+                int(t.timestamp() * 1_000_000) + L,
+            )
+            for (_, u, t) in rows
+            if u == uid
+        )
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        row = got.loc[uid]
+        assert row["n_islands"] == len(merged)
+        assert row["covered_us"] == sum(e - s for s, e in merged)
+        assert row["longest_us"] == max(e - s for s, e in merged)
+    assert got.loc[9]["n_islands"] == 1  # exact-touch merged
+
+
+def test_weighted_median_matches_bruteforce():
+    """Authority check of the 2*cum >= total selection rule against a
+    direct expansion-and-middle computation."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(1, 20, size=50).astype(float)
+    ws = rng.integers(1, 9, size=50)
+    # lower weighted median by expansion
+    expanded = np.sort(np.repeat(vals, ws))
+    total = ws.sum()
+    # smallest v with cumweight*2 >= total == element at position
+    # ceil(total/2)-1 of the expanded sorted array
+    expect = expanded[(total + 1) // 2 - 1]
+    import pandas as pd
+
+    df = (
+        pd.DataFrame({"v": vals, "w": ws})
+        .groupby("v", as_index=False)["w"].sum()
+        .sort_values("v")
+    )
+    df["cw"] = df["w"].cumsum()
+    got = df[2 * df["cw"] >= total]["v"].iloc[0]
+    assert got == expect
