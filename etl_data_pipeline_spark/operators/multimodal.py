@@ -470,3 +470,57 @@ def sample_frames(mm: DataFrame, frame_size: int = 32, every_n: int = 4) -> Data
             )
 
     return mm.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id long, n_samples long, sum_abs long, energy long, "
+    "peak long, zero_cross long"
+)
+
+
+def audio_energy_features(docs: DataFrame, cap: int = 128) -> DataFrame:
+    """Feature extraction over DECODED audio: synthesize the per-doc WAV,
+    run the real RIFF/PCM16 parse, then compute signal features from the
+    sample array — total magnitude, energy (sum of squares), peak, and
+    zero-crossing count (sign flips between adjacent samples). All exact
+    int64 (samples widen from int16 BEFORE squaring).
+
+    This is the plumbing a real audio-curation pass needs (silence /
+    clipping / noisiness screens); per-row work is bounded by the sample
+    cap, Arrow-batched via mapInPandas.
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = max(1, min(int(n_chars), cap))
+                i = np.arange(n, dtype=np.int64)
+                sig = ((int(doc_id) * 7919 + i * 31) % 20001 - 10000).astype(
+                    np.int16
+                )
+                _, _, samples = decode_audio(encode_wav(sig, 8000))
+                s = samples.astype(np.int64)
+                neg = s < 0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": len(s),
+                        "sum_abs": int(np.abs(s).sum()),
+                        "energy": int((s * s).sum()),
+                        "peak": int(np.abs(s).max()),
+                        "zero_cross": int((neg[1:] != neg[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_abs", "energy", "peak",
+                    "zero_cross",
+                ],
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        gen, AUDIO_ENERGY_SCHEMA
+    )

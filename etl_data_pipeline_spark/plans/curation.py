@@ -1349,3 +1349,95 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").cast("long").alias("u"),
         )
     )
+
+
+@query(
+    "neardup_link_predict",
+    oracle="WITH "
+    + MINHASH_LSH_BODY
+    + """
+    , e0 AS (
+      SELECT a AS u, b AS v FROM lsh_pairs
+      UNION ALL
+      SELECT b AS u, a AS v FROM lsh_pairs
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY u
+    ), cn AS (
+      SELECT l.u AS u, r.v AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM e0 l JOIN e0 r ON r.u = l.v AND l.u < r.v
+      GROUP BY l.u, r.v
+    ), lp_cand AS (
+      SELECT c.u, c.v, c.common
+      FROM cn c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lsh_pairs p WHERE p.a = c.u AND p.b = c.v
+      )
+    )
+    SELECT c.u, c.v, c.common,
+           (c.common * 1000000) // (du.d + dv.d - c.common) AS jaccard_grid
+    FROM lp_cand c
+    JOIN deg du ON du.u = c.u
+    JOIN deg dv ON dv.u = c.v
+    ORDER BY jaccard_grid DESC, c.common DESC, c.u, c.v
+    LIMIT 20
+    """,
+)
+def neardup_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: for non-adjacent document
+    pairs two hops apart, the neighborhood-Jaccard score
+    |N(a) n N(b)| / |N(a) u N(b)| — the classic "these two are probably
+    near-dups the LSH bands missed" recovery signal (Liben-Nowell &
+    Kleinberg, CIKM'03), closing the loop between the candidate
+    generator and the graph analytics built on it. Top-20 scored pairs.
+
+    Plan: symmetric adjacency from the CAPPED pair list -> wedge join on
+    the shared neighbor (u < v orients each candidate once) -> count =
+    common neighbors -> anti-join out pairs that are ALREADY edges ->
+    degree join, score as exact integer-grid division, TopK. Scale: the
+    wedge fan-out is bounded by the upstream LSH bucket cap (the same
+    bound neardup_triangles rides); everything else is equi-joins over
+    the edge list and a 2-column degree table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
+
+    pairs = (
+        minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
+        .select("a", "b")
+        .localCheckpoint()  # reused by adjacency, anti-join and degrees
+    )
+    e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    left = e0.select(F.col("u"), F.col("v").alias("w"))
+    right = e0.select(F.col("u").alias("w"), F.col("v"))
+    cn = (
+        left.join(right, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = cn.join(
+        pairs,
+        (cn["u"] == pairs["a"]) & (cn["v"] == pairs["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("(common * 1000000) div (du + dv - common)").alias(
+                "jaccard_grid"
+            ),
+        )
+        .orderBy(
+            F.desc("jaccard_grid"), F.desc("common"), F.asc("u"), F.asc("v")
+        )
+        .limit(20)
+    )

@@ -205,3 +205,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_binary_payload(d), frame_size=32, every_n=4)
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, GREATEST(LEAST(n_chars, 128), 1) AS ns
+      FROM documents
+    ), v AS (
+      SELECT doc_id, ns, i.i,
+             (doc_id * 7919 + i.i * 31) % 20001 - 10000 AS s
+      FROM n CROSS JOIN LATERAL (SELECT UNNEST(RANGE(ns)) AS i) i
+    ), z AS (
+      SELECT doc_id, ns, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(MAX(ns) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s < 0) != (prev < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM z GROUP BY doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio FEATURE EXTRACTION (the step after decode): RMS
+    energy components, peak amplitude, and zero-crossing rate computed
+    from genuinely-decoded PCM16 samples (operators/multimodal.py
+    ``audio_energy_features``). The oracle regenerates the deterministic
+    signal from its closed form and recomputes every feature in exact
+    BIGINT SQL — so the parity check certifies the decode AND the signal
+    math, not just row shapes."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.multimodal import (
+        audio_energy_features,
+    )
+
+    return audio_energy_features(d, cap=128)

@@ -700,3 +700,78 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cusum_user,
         schema="user_id long, n_events long, n_alarms long, max_s long",
     )
+
+
+@query(
+    "robust_zscore_mad",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), med AS (
+      SELECT user_id, CAST(2 * MEDIAN(c) AS BIGINT) AS med2
+      FROM c GROUP BY user_id
+    ), dev AS (
+      SELECT c.user_id, ABS(2 * c.c - m.med2) AS absdev2
+      FROM c JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, CAST(2 * MEDIAN(absdev2) AS BIGINT) AS mad4
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(m.med2) AS med2,
+           MIN(a.mad4) AS mad4,
+           CAST(SUM(CASE WHEN 2 * d.absdev2 > 3 * a.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m USING (user_id)
+    JOIN mad a USING (user_id)
+    GROUP BY d.user_id
+    """,
+)
+def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per user: median / MAD (median absolute
+    deviation) instead of mean / stddev — the estimator that does NOT
+    let the outliers you are hunting inflate the threshold (50%
+    breakdown point vs 0% for z-scores; anomaly_p95 is the quantile
+    sibling, this is the robust-location one). Flags |dev| > 3*MAD.
+
+    Exactness trick: both medians ride the DOUBLED-integer form — for
+    cents c, 2*median(c) = c_lo + c_hi exactly (an interpolated median
+    of integers is either integer or half-integer, so its double is
+    exact in BOTH engines) — and the 3-MAD test multiplies through to
+    ``2*absdev2 > 3*mad4``, pure BIGINT, no rounding anywhere. Scale:
+    two agg-then-join-back passes sharing the user_id shuffle; exact
+    per-group medians sort within groups (at extreme group cardinality
+    swap in the d8b sketch — same plan shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
+    )
+    med = c.groupBy("user_id").agg(
+        (2 * F.median("c")).cast("long").alias("med2")
+    )
+    dev = c.join(med, "user_id").select(
+        "user_id",
+        "med2",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("absdev2"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        (2 * F.median("absdev2")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med2").alias("med2"),
+            F.min("mad4").alias("mad4"),
+            F.sum(
+                F.when(2 * F.col("absdev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
