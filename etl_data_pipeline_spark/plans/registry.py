@@ -128,6 +128,17 @@ _PRIORITY = [
     "fuzzy_levenshtein",
 ]
 
+#: Round-6 rotation carry-over: the 18 round-5 batch-5 queries were
+#: committed AFTER this round's window was pinned, so they register
+#: behind it and have no driver CORRECTNESS row yet — front them next
+#: round: heavy_hitters_mg, bloom_membership, bigram_lm_score,
+#: event_transition_matrix, skyline_price_size, benford_digit_audit,
+#: cusum_changepoint, sql_pipe_syntax, sql_parameterized,
+#: c8c_asof_nearest, interval_coverage, session_path_trigrams,
+#: weighted_median, e1d_cume_dist_nth, j13_stream_static_enrich,
+#: mm_audio_energy, neardup_link_predict, robust_zscore_mad.
+#: (All 18 are green in the in-repo driver emulator at sf0.01.)
+
 _loaded = False
 
 
