@@ -1369,3 +1369,179 @@ def e1d_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_name", 2).over(wf).alias("second_poorest"),
     )
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 != 0
+    ), snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 11 != 0
+    ), j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE
+               WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_orderstatus != b.o_orderstatus
+                    OR a.o_totalprice != b.o_totalprice THEN 'changed'
+               ELSE 'unchanged' END AS status,
+             CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                       AND a.o_orderstatus != b.o_orderstatus
+                  THEN 1 ELSE 0 END AS status_changed
+      FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(status_changed) AS BIGINT) AS n_status_changed
+    FROM j GROUP BY status
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation / table diff — the ETL regression check
+    run after every backfill: classify each key of two table versions as
+    added / removed / changed / unchanged and count which column drove
+    the change. The two versions are carved deterministically from
+    ``orders`` (A drops keys %10==0, B drops %11==0 and flips the status
+    of %7==0), so both engines diff identical snapshots.
+
+    Plan: ONE full-outer join on the key (the canonical diff shape —
+    never a row-hash cross-compare), then a 4-row classification agg.
+    Scale: the join shuffles both snapshots once on the key; per-column
+    change predicates are codegen'd comparisons; output is O(|statuses|).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 10 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    a = snap_a.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st_a"),
+        F.col("o_totalprice").alias("tp_a"),
+    )
+    b = snap_b.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st_b"),
+        F.col("o_totalprice").alias("tp_b"),
+    )
+    j = a.join(b, "k", "full_outer").select(
+        F.when(F.col("st_a").isNull(), F.lit("added"))
+        .when(F.col("st_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("st_a") != F.col("st_b")) | (F.col("tp_a") != F.col("tp_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.when(
+            F.col("st_a").isNotNull()
+            & F.col("st_b").isNotNull()
+            & (F.col("st_a") != F.col("st_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("status_changed"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("status_changed").cast("long").alias("n_status_changed"),
+    )
+
+
+@query(
+    "d5d_grouping_id",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           CAST(GROUPING_ID(n_name, o_orderstatus) AS BIGINT) AS gid,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """,
+)
+def d5d_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 completion: GROUPING_ID / GROUPING markers on grouping sets —
+    the bitmask consumers use to route subtotal rows (0 = detail, 1 =
+    per-nation subtotal, 3 = grand total; both engines assign the same
+    leftmost-column-is-MSB convention, which this query pins
+    cross-engine). Same snowflake join as d5, broadcast dims."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    ).join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    return (
+        joined.groupingSets(
+            [["n_name", "o_orderstatus"], ["n_name"], []],
+            "n_name",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("n_name", "o_orderstatus", "gid", "g_nation", "n_orders")
+    )
+
+
+@query(
+    "data_skew_report",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'l_suppkey' AS key_col, l_suppkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+    ), freq AS (
+      SELECT key_col, k, COUNT(*) AS f FROM keyed GROUP BY key_col, k
+    )
+    SELECT key_col,
+           CAST(SUM(f) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(f) AS BIGINT) AS max_key_freq,
+           (MAX(f) * COUNT(*) * 1000000) // CAST(SUM(f) AS BIGINT)
+             AS skew_grid
+    FROM freq GROUP BY key_col
+    """,
+)
+def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew observability: per candidate shuffle key, the row
+    count, distinct-key count, hottest-key frequency, and the skew ratio
+    max_freq / (rows / keys) on the exact 1e-6 grid — the number that
+    predicts whether a shuffle on that key needs salting or AQE skew
+    handling (1e6 = perfectly uniform; the report is what a pipeline
+    checks BEFORE picking join strategy, feeding skew_salted_join).
+
+    Scale: one map-side-combined count per key column, then a per-column
+    rollup — the same two-level agg any cardinality profiler runs; no
+    joins, no collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.lit("l_suppkey").alias("key_col"), F.col("l_suppkey").alias("k")
+    ).unionAll(
+        li.select(
+            F.lit("l_partkey").alias("key_col"), F.col("l_partkey").alias("k")
+        )
+    )
+    freq = keyed.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("f"))
+    return freq.groupBy("key_col").agg(
+        F.sum("f").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("f").cast("long").alias("max_key_freq"),
+        F.expr("(max(f) * count(1) * 1000000) div sum(f)").alias("skew_grid"),
+    )

@@ -949,3 +949,98 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("logp_grid_sum"),
     )
+
+
+@query(
+    "containment_pairs",
+    oracle="""
+    WITH t0 AS (
+      SELECT DISTINCT doc_id, lang,
+             UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), bs AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM t0 GROUP BY lang
+    ), dfc AS (
+      SELECT lang, token, COUNT(*) AS df FROM t0 GROUP BY lang, token
+    ), t AS (
+      SELECT t0.doc_id, t0.lang, t0.token
+      FROM t0 JOIN dfc USING (lang, token) JOIN bs USING (lang)
+      WHERE dfc.df * 5 <= 1 * bs.n_docs
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a, i.b,
+           CAST(i.inter AS BIGINT) AS inter,
+           CAST(LEAST(ca.n_tok, cb.n_tok) AS BIGINT) AS n_small,
+           (i.inter * 1000000) // LEAST(ca.n_tok, cb.n_tok)
+             AS containment_grid
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.a
+    JOIN counts cb ON cb.doc_id = i.b
+    WHERE i.inter * 10 >= 8 * LEAST(ca.n_tok, cb.n_tok)
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: token-set CONTAINMENT
+    |A n B| / min(|A|, |B|) >= 0.8 — the measure that catches a short
+    document embedded inside a long one (quotes, syndicated excerpts,
+    header-wrapped reposts), which symmetric Jaccard (i4) structurally
+    under-scores: a 50-token doc fully inside a 500-token doc has
+    containment 1.0 but Jaccard 0.1.
+
+    Same scale machinery as i4 — lang-blocked inverted-index join with
+    the integer df-cap (stop-word fan-out guard) — but the threshold is
+    the division-free ``inter*10 >= 8*min(na,nb)`` and the score is an
+    exact 1e-6 integer grid, so no doubles exist anywhere in the query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.col("lang").alias("block"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).distinct()
+    block_sizes = (
+        t.select("block", "doc_id").distinct()
+        .groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dfc = t.groupBy("block", "token").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        dfc.join(F.broadcast(block_sizes), "block")
+        .filter(F.col("df") * 5 <= 1 * F.col("n_docs"))
+        .select("block", "token")
+    )
+    t = t.join(keep, ["block", "token"])
+    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    t = t.join(counts, "doc_id")
+    a = t.select(
+        "block", "token", F.col("doc_id").alias("a"), F.col("n_tok").alias("na")
+    )
+    b = t.select(
+        F.col("block").alias("block_b"), F.col("token").alias("token_b"),
+        F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a.block == b.block_b) & (a.token == b.token_b) & (a.a < b.b),
+        )
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    small = F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.filter(F.col("inter") * 10 >= 8 * small)
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            small.cast("long").alias("n_small"),
+            F.expr(
+                "(inter * 1000000) div least(na, nb)"
+            ).alias("containment_grid"),
+        )
+    )

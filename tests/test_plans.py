@@ -613,3 +613,52 @@ def test_heavy_hitters_partials_stay_distributed(spark):
     plan = plan_of(spark, "heavy_hitters_mg")
     assert "MapInPandas" in plan
     assert "HashAggregate" in plan
+
+
+def test_c8c_nearest_is_join_free(spark):
+    """The nearest as-of variant must keep c8b's join-free shape: window
+    frames over one shuffle, no join operator anywhere in the plan."""
+    plan = plan_of(spark, "c8c_asof_nearest")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_interval_coverage_single_user_shuffle(spark):
+    """Island detection + both aggs must ride ONE user_id exchange: the
+    window partitioning and the groupBys share it, so exactly one
+    shuffle origin appears (plus the final single-partition collect)."""
+    plan = plan_of(spark, "interval_coverage")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_skyline_two_phase_mapinpandas(spark):
+    """Skyline must show the two-phase shape: two MapInPandas stages
+    (local fronts, global reduce) and no join/cartesian."""
+    plan = plan_of(spark, "skyline_price_size")
+    # tree section prints each stage as "MapInPandas (<id>)"; the details
+    # section repeats them as "(<id>) MapInPandas", so count the former
+    assert plan.count("MapInPandas (") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_link_predict_no_cartesian_and_caps_inherited(spark):
+    """Link prediction must stay equi-join-only (wedge join + anti-join
+    + degree joins), never cartesian, with the TopK as
+    TakeOrderedAndProject rather than a global sort."""
+    plan = plan_of(spark, "neardup_link_predict")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_is_grouped_map_over_one_shuffle(spark):
+    """CUSUM must be the canonical stateful grouped-map: one
+    FlatMapGroupsInPandas over a user_id exchange, no joins."""
+    plan = plan_of(spark, "cusum_changepoint")
+    assert "FlatMapGroupsInPandas" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
