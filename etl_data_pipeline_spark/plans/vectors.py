@@ -690,3 +690,150 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hit") / F.col("n_exact")).alias("recall"),
         ((F.col("n_hit") / F.col("n_exact")) >= 0.3).alias("recall_ok"),
     )
+
+
+#: Shared PQ oracle body: int8 quantize (verbatim i6c expression) ->
+#: 16x4 subvector split -> 16-code seed codebook -> integer-distance
+#: argmin assignment -> decode -> SDC candidate top-50 -> exact rerank.
+_PQ_BODY = """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> FLOOR(x * 127.0
+                          / (CASE WHEN m = 0 THEN 1.0 ELSE m END)
+                          + 0.5)) AS qe
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> ABS(x)), 'max') AS m
+            FROM embeddings) s
+    ), dims AS (
+      SELECT vec_id, i.range // 4 AS sub, i.range % 4 AS d,
+             qe[i.range + 1] AS v
+      FROM qv, RANGE(64) i
+    ), cb AS (
+      SELECT sub, vec_id AS code, d, v AS c FROM dims WHERE vec_id < 16
+    ), dist AS (
+      SELECT m.vec_id, m.sub, c.code,
+             SUM((m.v - c.c) * (m.v - c.c)) AS dist
+      FROM dims m JOIN cb c ON c.sub = m.sub AND c.d = m.d
+      GROUP BY m.vec_id, m.sub, c.code
+    ), assign AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM dist) WHERE rn = 1
+    ), dec AS (
+      SELECT a.vec_id, LIST(c.c ORDER BY c.sub * 4 + c.d) AS de
+      FROM assign a JOIN cb c ON c.sub = a.sub AND c.code = a.code
+      GROUP BY a.vec_id
+    ), qp AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             ROUND(list_inner_product(a.de, b.de)
+               / SQRT(list_inner_product(a.de, a.de)
+                    * list_inner_product(b.de, b.de)), 6) AS qcos
+      FROM dec a JOIN dec b ON a.vec_id != b.vec_id
+    ), cand AS (
+      SELECT q, n FROM (
+        SELECT q, n,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY qcos DESC, n) AS rn
+        FROM qp)
+      WHERE rn <= 50
+    ), rr AS (
+      SELECT c.q AS vec_id, c.n AS neighbor,
+             ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+               / SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[]))
+                    * list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))), 6)
+               AS cosine
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.q
+      JOIN embeddings b ON b.vec_id = c.n
+    ), pq3 AS (
+      SELECT vec_id, neighbor, cosine
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, neighbor) AS rn FROM rr)
+      WHERE rn <= 3
+    )
+"""
+
+
+@query(
+    "pq_ann",
+    oracle=_PQ_BODY + "SELECT vec_id, neighbor, cosine FROM pq3",
+)
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third ANN path: PRODUCT QUANTIZATION (SDC variant) — 16
+    subvectors x 16 codes = 8 bytes per vector (8x smaller than int8,
+    32x smaller than float32), top-50 candidates from the blocked kernel
+    over PQ-reconstructed vectors, exact float re-rank to top-3. The FAISS
+    IVF-PQ memory model's PQ half; operators/similarity.py::pq_rerank
+    documents the deterministic seed-sample codebook. Every compressed
+    number is an integer, so candidate generation is exactly
+    cross-engine reproducible like i6c one compression level up.
+    """
+    from etl_data_pipeline_spark.operators.similarity import pq_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_rerank(spark, e, k=3, n_cand=50)
+
+
+@query(
+    "pq_recall",
+    oracle=_PQ_BODY
+    + """
+    , allp AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+        ROUND(
+          list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+               * list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))),
+          6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ), exact AS (
+      SELECT q, n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                      ORDER BY cosine DESC, n) AS rn FROM allp)
+      WHERE rn <= 3
+    ), hits AS (
+      SELECT e.q, e.n,
+             CASE WHEN p.vec_id IS NOT NULL THEN 1 END AS hit
+      FROM exact e
+      LEFT JOIN pq3 p ON p.vec_id = e.q AND p.neighbor = e.n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(hit) AS BIGINT) AS n_hit,
+           COUNT(hit) / CAST(COUNT(*) AS DOUBLE) AS recall,
+           COUNT(hit) / CAST(COUNT(*) AS DOUBLE) >= 0.4 AS recall_ok
+    FROM hits
+    """,
+)
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate: recall@3 of the PQ path against exact kNN — the
+    sibling of ann_recall (LSH) and ivf_recall (IVF), so ALL THREE
+    approximate retrieval paths carry driver-checked recall numbers.
+    Both legs are the registered operators themselves. recall_ok pins
+    >= 0.4 (measured 0.61 at sf0.01 — the 16x4/4-bit geometry chosen
+    over 8x8 subvectors by a recall sweep precisely because it clears
+    the IVF-level bar at the same 8-byte budget)."""
+    from etl_data_pipeline_spark.operators.similarity import pq_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = knn(spark, e, k=3).select("vec_id", "neighbor")
+    approx = (
+        pq_rerank(spark, e, k=3, n_cand=50)
+        .select("vec_id", "neighbor")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["vec_id", "neighbor"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("hit").alias("n_hit")
+    ).select(
+        "n_exact",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        ((F.col("n_hit") / F.col("n_exact")) >= 0.4).alias("recall_ok"),
+    )
