@@ -466,3 +466,73 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 100.0, "pat": "NATION_1%"},
     )
+
+
+@query(
+    "sql_variables",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS avg_price
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders CROSS JOIN thr
+    WHERE o_totalprice > thr.avg_price
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP (Spark 4): SQL session variables — DECLARE a variable, SET it
+    from a scalar subquery (the corpus mean price), then use it as a
+    filter constant in a later statement: the multi-statement scripting
+    idiom (parameter tables without temp views). The exact-decimal AVG
+    matches the oracle's inlined scalar subquery; the variable is
+    session-scoped so the name carries the sf tag.
+    """
+    _view(spark, sf_dir, "orders")
+    t = _tag(sf_dir)
+    spark.sql(
+        f"DECLARE OR REPLACE VARIABLE avg_price_{t} DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        f"""SET VARIABLE avg_price_{t} =
+            (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             FROM orders_{t})"""
+    )
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_above
+        FROM orders_{t}
+        WHERE o_totalprice > avg_price_{t}
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 50000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP (Spark 4): EXECUTE IMMEDIATE — SQL-level dynamic statement
+    execution with positional ? parameters, the scripting counterpart of
+    the Python-side parameterized spark.sql (sql_parameterized). The
+    statement text is itself data (a single query string), parameters
+    bind after parse.
+    """
+    _view(spark, sf_dir, "orders")
+    t = _tag(sf_dir)
+    stmt = (
+        f"SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders_{t} "
+        "WHERE o_totalprice > ? GROUP BY o_orderstatus"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 50000.0", args={"stmt": stmt}
+    )

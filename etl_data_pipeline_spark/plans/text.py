@@ -1044,3 +1044,65 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_grid"),
         )
     )
+
+
+@query(
+    "token_entropy",
+    oracle=_TOKENS_CTE
+    + """
+    , c AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(FLOOR(c * LN(CAST(c AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS clnc_grid
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_distinct, clnc_grid,
+           ROUND(LN(CAST(n_tok AS DOUBLE))
+                 - (clnc_grid / 1000000.0) / n_tok, 6) AS entropy_nats
+    FROM agg
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the diversity
+    score that flags repeated-token spam and keyword stuffing (low
+    entropy at normal length) from the opposite direction as
+    ``gopher_repetition``'s top-fraction tests; H = ln(n) - (sum c*ln c)/n
+    over per-doc token counts.
+
+    Exactness: the only per-term double is c*ln(c) from an integer
+    count, floored onto the 1e-6 grid and summed as BIGINT (order-
+    independent); the final H is one fixed expression over integers,
+    ROUND(...,6) both sides. Scale: two map-side-combined aggs on the
+    (doc, token) stream — no joins, no vocab broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        tokens(d)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.floor(F.col("c") * F.log(F.col("c").cast("double")) * 1000000)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("clnc_grid"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        "clnc_grid",
+        F.round(
+            F.log(F.col("n_tok").cast("double"))
+            - (F.col("clnc_grid") / 1000000.0) / F.col("n_tok"),
+            6,
+        ).alias("entropy_nats"),
+    )
