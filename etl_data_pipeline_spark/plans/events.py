@@ -719,3 +719,70 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "j3b_dynamic_gap_session",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts,
+             EPOCH_US(ts) AS s,
+             EPOCH_US(ts) + CASE WHEN event_type IN ('purchase', 'signup')
+                                 THEN 1800000000 ELSE 600000000 END AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, s, e, event_id,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s >= MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT user_id, ts, e,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAKE_TIMESTAMP(MAX(e)) AS VARCHAR) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def j3b_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 dynamic-gap variant (Spark 4 feature): ``session_window`` with
+    a PER-EVENT gap expression — conversion events (purchase/signup)
+    hold the session open 30 minutes, browse events only 10 — the
+    engagement-weighted sessionization product analytics actually wants.
+
+    Native semantics: each event spans [ts, ts+its_gap); overlapping
+    spans merge; window end is the max span end. That is exactly the
+    gaps-and-islands interval union (interval_coverage's machinery),
+    which the oracle runs with the running-max-of-ends detector over
+    epoch-micros (strict ``>=`` on the boundary: native windows are
+    half-open, so a span starting exactly at a previous end does NOT
+    merge). One shuffle on user_id either way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )

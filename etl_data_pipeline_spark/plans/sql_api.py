@@ -536,3 +536,42 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE :stmt USING 50000.0", args={"stmt": stmt}
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM orders)
+    SELECT CASE WHEN (SELECT cnt FROM n) >= 1000
+                THEN 'large' ELSE 'small' END AS corpus_class,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP (Spark 4): SQL scripting — a BEGIN..END block with a DECLAREd
+    variable, an assignment from a query, and IF/ELSE control flow
+    choosing the result statement; the procedural-SQL surface that
+    replaces driver-side glue for multi-step jobs. The branch condition
+    (row count >= 1000) is data-deterministic, so the oracle inlines the
+    same CASE.
+    """
+    _view(spark, sf_dir, "orders")
+    t = _tag(sf_dir)
+    return spark.sql(f"""
+        BEGIN
+          DECLARE cnt BIGINT DEFAULT 0;
+          SET cnt = (SELECT COUNT(*) FROM orders_{t});
+          IF cnt >= 1000 THEN
+            SELECT 'large' AS corpus_class, o_orderstatus,
+                   COUNT(*) AS n_orders
+            FROM orders_{t} GROUP BY o_orderstatus;
+          ELSE
+            SELECT 'small' AS corpus_class, o_orderstatus,
+                   COUNT(*) AS n_orders
+            FROM orders_{t} GROUP BY o_orderstatus;
+          END IF;
+        END
+    """)
