@@ -524,3 +524,40 @@ def audio_energy_features(docs: DataFrame, cap: int = 128) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         gen, AUDIO_ENERGY_SCHEMA
     )
+
+
+IMAGE_HIST_SCHEMA = "doc_id long, bin long, n long"
+
+
+def image_histogram_features(
+    docs: DataFrame, width: int = 16, height: int = 4, n_bins: int = 16
+) -> DataFrame:
+    """Feature extraction over DECODED images: encode each document's
+    bytes as a real PPM, run the actual P6 parse, then bin every RGB
+    byte of the decoded pixel array into a 16-bucket intensity
+    histogram — the exposure/contrast screen an image-curation pass
+    runs (all-dark / all-bright / low-dynamic-range filters). One
+    (doc_id, bin, count) row per non-empty bucket, exact integers.
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_bin, out_n = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_image(
+                    encode_ppm(text.encode("utf-8"), width, height)
+                )
+                hist = np.bincount(
+                    img.reshape(-1) // (256 // n_bins), minlength=n_bins
+                )
+                for b in np.nonzero(hist)[0]:
+                    out_doc.append(int(doc_id))
+                    out_bin.append(int(b))
+                    out_n.append(int(hist[b]))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "bin": out_bin, "n": out_n},
+                columns=["doc_id", "bin", "n"],
+            ).astype({"doc_id": "int64", "bin": "int64", "n": "int64"})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, IMAGE_HIST_SCHEMA)

@@ -246,3 +246,38 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_energy_features(d, cap=128)
+
+
+@query(
+    "mm_image_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, ENCODE(text) AS raw,
+             OCTET_LENGTH(ENCODE(text)) AS len
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CASE WHEN len = 0 THEN 0
+                  ELSE ('0x' || SUBSTR(HEX(raw),
+                                       2 * (i.range % len) + 1, 2))::BIGINT
+             END AS byte
+      FROM b CROSS JOIN RANGE(192) i
+    )
+    SELECT doc_id, byte // 16 AS bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM px GROUP BY doc_id, byte // 16
+    """,
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image FEATURE EXTRACTION (the step after decode): a
+    16-bucket intensity histogram over every RGB byte of the genuinely-
+    decoded 16x4 PPM pixel array (operators/multimodal.py
+    ``image_histogram_features``) — the mm_audio_energy sibling for the
+    image leg. The oracle regenerates the cycled pixel bytes from the
+    document's utf-8 encoding in SQL (byte i = raw[i mod len]), so the
+    decode AND the binning arithmetic are hash-certified."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.multimodal import (
+        image_histogram_features,
+    )
+
+    return image_histogram_features(d, width=16, height=4, n_bins=16)

@@ -128,7 +128,7 @@ _PRIORITY = [
     "fuzzy_levenshtein",
 ]
 
-#: Round-6 rotation carry-over: the 18 round-5 batch-5 queries were
+#: Round-6 rotation carry-over: the 31 round-5 batch-5..9 queries were
 #: committed AFTER this round's window was pinned, so they register
 #: behind it and have no driver CORRECTNESS row yet — front them next
 #: round: heavy_hitters_mg, bloom_membership, bigram_lm_score,
@@ -136,8 +136,13 @@ _PRIORITY = [
 #: cusum_changepoint, sql_pipe_syntax, sql_parameterized,
 #: c8c_asof_nearest, interval_coverage, session_path_trigrams,
 #: weighted_median, e1d_cume_dist_nth, j13_stream_static_enrich,
-#: mm_audio_energy, neardup_link_predict, robust_zscore_mad.
-#: (All 18 are green in the in-repo driver emulator at sf0.01.)
+#: mm_audio_energy, neardup_link_predict, robust_zscore_mad,
+#: containment_pairs, table_diff, d5d_grouping_id, data_skew_report,
+#: pq_ann, pq_recall, token_entropy, k9_grouped_apply_in_arrow,
+#: sql_variables, sql_execute_immediate, j3b_dynamic_gap_session,
+#: sql_scripting, mm_image_histogram.
+#: (All 31 are green in the in-repo driver emulator at sf0.01 — see
+#: the per-batch emulator runs in the round-5 commit history.)
 
 _loaded = False
 
