@@ -605,6 +605,14 @@ def quantized_rerank(
     survivors back to the float embeddings and takes exact-cosine top-k.
     At scale only stage 1 touches every pair (at 1/4 the bytes), and the
     re-rank is a per-query k*n_cand-row join, never all-pairs.
+
+    Block count NEVER changes the result (each query's global top-k is
+    taken over the union of per-block-pair top-k under one total
+    order), so it is purely a scheduling knob: an A/B sweep on this
+    host (2026-08-14, sf0.1, local[32], loadavg ~5) measured 8-24
+    blocks within session noise (2.0-2.6 s swing across sessions for
+    EITHER setting), so the default stays 8; at real cluster scale size
+    blocks so one block pair's matrices fit an executor's memory.
     """
     cand = knn(spark, quantize_embeddings(embeddings), k=n_cand, n_blocks=n_blocks)
     from pyspark.sql.window import Window
