@@ -1545,3 +1545,62 @@ def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("f").cast("long").alias("max_key_freq"),
         F.expr("(max(f) * count(1) * 1000000) div sum(f)").alias("skew_grid"),
     )
+
+
+@query(
+    "b5c_try_arithmetic",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             o_orderkey - (SELECT MIN(o_orderkey) FROM orders) AS off
+      FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_zero_nulled,
+           CAST(SUM(CASE WHEN off != 0
+                         AND o_totalprice / off > 1000.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_ratio,
+           CAST(SUM(CASE WHEN off > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_add_overflow_nulled
+    FROM t
+    """,
+)
+def b5c_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 completion: ANSI-safe TRY_* arithmetic — try_divide yields
+    NULL on division by zero and try_add NULL on int64 overflow instead
+    of an ANSI runtime error, the idiom for keeping a 100 TB job alive
+    through dirty rows while still COUNTING the failures (b5b covers
+    try_cast; this covers the arithmetic family).
+
+    The query manufactures one guaranteed zero divisor (the min-key row
+    offset) and probes overflow against INT64 MAX; the oracle computes
+    the same failure counts arithmetically (DuckDB's `/` never raises
+    for doubles, so its CASE mirrors the NULL contract).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    min_key = o.agg(F.min("o_orderkey").alias("mn"))
+    t = o.crossJoin(F.broadcast(min_key)).select(
+        "o_totalprice", (F.col("o_orderkey") - F.col("mn")).alias("off")
+    )
+    probe = t.select(
+        F.expr("try_divide(o_totalprice, off)").alias("ratio"),
+        F.expr(
+            "try_add(CAST(9223372036854775807 AS BIGINT), off)"
+        ).alias("near_max"),
+        "off",
+    )
+    return probe.agg(
+        F.sum(
+            F.when(F.col("ratio").isNull() & (F.col("off") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_div_zero_nulled"),
+        F.sum(F.when(F.col("ratio") > 1000.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_ratio"),
+        F.sum(F.when(F.col("near_max").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_add_overflow_nulled"),
+    )

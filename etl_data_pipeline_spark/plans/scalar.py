@@ -373,3 +373,47 @@ def h1c_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.array_join(matches, " "), F.lit("")).alias("ing_words"),
         F.greatest(F.size(matches), F.lit(0)).cast("long").alias("n_ing"),
     )
+
+
+@query(
+    "h9_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_brand)
+                  ELSE p_brand END AS brand_mixed
+      FROM part
+    )
+    SELECT LOWER(brand_mixed) AS brand_lc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM mixed GROUP BY LOWER(brand_mixed)
+    """,
+)
+def h9_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H completion (Spark 4): string COLLATIONs — grouping under
+    UTF8_LCASE merges case variants engine-side, without the LOWER()
+    rewrite every pre-collation pipeline hand-rolls (and with the same
+    benefit for joins and comparisons). The query manufactures mixed
+    case deterministically (even part keys uppercase their brand), lets
+    the COLLATE grouping merge them, and emits a lowercase display key;
+    DuckDB has no Spark-style collation clause, so the oracle IS the
+    LOWER() rewrite — asserting the semantic equivalence.
+    """
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_brand"))
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("brand_mixed")
+    )
+    return (
+        mixed.select(
+            F.expr("brand_mixed COLLATE UTF8_LCASE").alias("brand_coll")
+        )
+        .groupBy("brand_coll")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            F.lower(F.col("brand_coll")).cast("string").alias("brand_lc"),
+            "n_parts",
+        )
+    )
