@@ -1604,3 +1604,92 @@ def b5c_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_add_overflow_nulled"),
     )
+
+
+#: Declarative DQ expectation rules for ``orders``: (rule name, SQL
+#: predicate that must hold). Evaluated in ONE scan — each rule becomes
+#: a conditional count in a single aggregate, then the wide row unpivots
+#: to (rule, n_checked, n_failed, pass_grid). Adding a rule is one
+#: tuple; the plan stays a single pass regardless of rule count.
+DQ_EXPECTATIONS = [
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orderdate_in_range",
+     "o_orderdate >= TIMESTAMP '1995-01-01' "
+     "AND o_orderdate < TIMESTAMP '2002-01-01'"),
+    ("priority_wellformed", "o_orderpriority LIKE '%-%'"),
+    ("clerk_key_parity", "o_orderkey % 1 = 0"),
+]
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS f1,
+        SUM(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                 THEN 1 ELSE 0 END) AS f2,
+        SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1995-01-01'
+                           AND o_orderdate < TIMESTAMP '2002-01-01')
+                 THEN 1 ELSE 0 END) AS f3,
+        SUM(CASE WHEN NOT (o_orderpriority LIKE '%-%')
+                 THEN 1 ELSE 0 END) AS f4,
+        SUM(CASE WHEN NOT (o_orderkey % 1 = 0) THEN 1 ELSE 0 END) AS f5
+      FROM orders
+    )
+    SELECT r.rule,
+           CAST(agg.n AS BIGINT) AS n_checked,
+           CAST(CASE r.rule
+             WHEN 'totalprice_positive' THEN f1
+             WHEN 'status_in_domain' THEN f2
+             WHEN 'orderdate_in_range' THEN f3
+             WHEN 'priority_wellformed' THEN f4
+             ELSE f5 END AS BIGINT) AS n_failed,
+           ((CAST(agg.n AS BIGINT) - CAST(CASE r.rule
+             WHEN 'totalprice_positive' THEN f1
+             WHEN 'status_in_domain' THEN f2
+             WHEN 'orderdate_in_range' THEN f3
+             WHEN 'priority_wellformed' THEN f4
+             ELSE f5 END AS BIGINT)) * 1000000)
+             // CAST(agg.n AS BIGINT) AS pass_grid
+    FROM agg CROSS JOIN (
+      SELECT UNNEST(['totalprice_positive', 'status_in_domain',
+                     'orderdate_in_range', 'priority_wellformed',
+                     'clerk_key_parity']) AS rule) r
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the
+    Deequ/Great-Expectations shape): rules are (name, predicate) data,
+    the engine compiles ALL of them into ONE conditional-count aggregate
+    — a single table scan no matter how many rules — then unpivots the
+    wide result to one row per rule with checked/failed counts and an
+    exact integer-grid pass rate.
+
+    Scale: adding the 100th rule adds one codegen'd conditional sum to
+    the same scan, not another pass; rules never leave the JVM. The
+    synthetic corpus passes all five (the audit proves the absence of
+    violations, same posture as dq_audit/dq_fk_orphans).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(f"f{i}")
+        for i, (_, pred) in enumerate(DQ_EXPECTATIONS)
+    ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', f{i}" for i, (name, _) in enumerate(DQ_EXPECTATIONS)
+    )
+    tall = wide.select(
+        "n",
+        F.expr(
+            f"stack({len(DQ_EXPECTATIONS)}, {stack_args}) AS (rule, nf)"
+        ),
+    )
+    return tall.select(
+        "rule",
+        F.col("n").cast("long").alias("n_checked"),
+        F.col("nf").cast("long").alias("n_failed"),
+        F.expr("((n - nf) * 1000000) div n").alias("pass_grid"),
+    )

@@ -786,3 +786,75 @@ def j3b_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "funnel_latency",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         lat AS (
+           SELECT p.event_id,
+                  EPOCH_US(p.ts) - MAX(EPOCH_US(v.ts)) AS lat_us
+           FROM p JOIN v
+             ON v.user_id = p.user_id
+            AND v.ts <= p.ts
+            AND v.ts >= p.ts - INTERVAL 72 HOUR
+           GROUP BY p.event_id, p.ts
+         )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(QUANTILE_CONT(lat_us, 0.5), 6) AS p50_us,
+           ROUND(QUANTILE_CONT(lat_us, 0.9), 6) AS p90_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every purchase with a view
+    by the same user in the preceding 72 h, the view->purchase delay —
+    reported as exact median/p90/max micros plus the conversion count
+    against all purchases. ``funnel_conversion`` says HOW MANY convert;
+    this says HOW FAST — the product-analytics pair.
+
+    Plan: the join-free c8-style backward window (max view epoch-micros
+    over a (-72h, 0] RANGE frame per user) produces per-purchase
+    latency in one shuffle; the percentile agg follows d8's discipline
+    (exact interpolated percentiles, ROUND 6 both engines). The oracle
+    is the quadratic-but-small join+MAX formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h72 = 72 * 3600 * 1_000_000
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias(
+            "view_us"
+        ),
+    )
+    wb = Window.partitionBy("user_id").orderBy("us").rangeBetween(-h72, 0)
+    lat = (
+        tagged.withColumn("prev_us", F.max("view_us").over(wb))
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("us") - F.col("prev_us")).alias("lat_us"))
+    )
+    # purchase total rides along as a broadcast single-row aggregate —
+    # no driver action inside the plan
+    n_p = tagged.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return (
+        lat.filter(F.col("lat_us").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("lat_us", 0.5), 6).alias("p50_us"),
+            F.round(F.percentile("lat_us", 0.9), 6).alias("p90_us"),
+            F.max("lat_us").cast("long").alias("max_us"),
+        )
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            "n_converted", "p50_us", "p90_us", "max_us",
+        )
+    )
