@@ -128,7 +128,7 @@ _PRIORITY = [
     "fuzzy_levenshtein",
 ]
 
-#: Round-6 rotation carry-over: the 31 round-5 batch-5..9 queries were
+#: Round-6 rotation carry-over: the 35 round-5 batch-5..11 queries were
 #: committed AFTER this round's window was pinned, so they register
 #: behind it and have no driver CORRECTNESS row yet — front them next
 #: round: heavy_hitters_mg, bloom_membership, bigram_lm_score,
@@ -140,8 +140,9 @@ _PRIORITY = [
 #: containment_pairs, table_diff, d5d_grouping_id, data_skew_report,
 #: pq_ann, pq_recall, token_entropy, k9_grouped_apply_in_arrow,
 #: sql_variables, sql_execute_immediate, j3b_dynamic_gap_session,
-#: sql_scripting, mm_image_histogram.
-#: (All 31 are green in the in-repo driver emulator at sf0.01 — see
+#: sql_scripting, mm_image_histogram, b5c_try_arithmetic, h9_collation,
+#: dq_expectations, funnel_latency.
+#: (All 35 are green in the in-repo driver emulator at sf0.01 — see
 #: the per-batch emulator runs in the round-5 commit history.)
 
 _loaded = False
