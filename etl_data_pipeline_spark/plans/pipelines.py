@@ -232,3 +232,87 @@ def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("s")).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "sales_mart",
+    oracle="""
+    WITH dim_cust AS (
+      SELECT c_custkey, c_mktsegment, n_name, r_name
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    ), fact AS (
+      SELECT o.o_orderkey,
+             STRFTIME(o.o_orderdate, '%Y-%m') AS order_month,
+             d.r_name, d.c_mktsegment,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(38,4)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN dim_cust d ON d.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus IN ('O', 'F', 'P')
+    )
+    SELECT order_month, r_name, c_mktsegment,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(rev * 10000 AS BIGINT)) AS BIGINT)
+             // CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS rev_per_order_dmil
+    FROM fact
+    GROUP BY order_month, r_name, c_mktsegment
+    """,
+)
+def sales_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END warehouse mart build — the classic nightly ETL DAG of
+    this repo's reference category, as one declarative pipeline:
+    (1) conform the snowflake (customer->nation->region flattened into a
+    broadcastable dim), (2) validate facts (status domain gate — the
+    dq_expectations rule inlined as a filter), (3) build the fact grain
+    (lineitem x orders on the order key — the DAG's only corpus-wide
+    shuffle), (4) aggregate the mart: monthly revenue by region x
+    market segment with order/line counts and revenue-per-order.
+
+    This is ``pretrain_corpus``'s sibling for the relational leg: many
+    stages, ONE plan, so Catalyst prunes columns through every join and
+    AQE sizes the fact shuffle. Money follows the house rule (exact
+    DECIMAL sums, cast once); revenue-per-order is exact integer
+    division on the 1e-4 grid (dec-mils per order). Dims broadcast; the
+    mart output is O(months x regions x segments).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim_cust = (
+        c.join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("c_custkey", "c_mktsegment", "n_name", "r_name")
+    )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(38,4)")
+    fact = (
+        li.join(
+            o.filter(F.col("o_orderstatus").isin("O", "F", "P")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(dim_cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "r_name",
+            "c_mktsegment",
+            rev.alias("rev"),
+        )
+    )
+    return fact.groupBy("order_month", "r_name", "c_mktsegment").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.expr(
+            "sum(CAST(rev * 10000 AS BIGINT)) div count(DISTINCT o_orderkey)"
+        ).alias("rev_per_order_dmil"),
+    )

@@ -662,3 +662,14 @@ def test_cusum_is_grouped_map_over_one_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_sales_mart_broadcasts_dims_and_pushes_status_filter(spark):
+    """The mart DAG must broadcast the conformed customer dim (never
+    shuffle the fact on c_custkey), push the status-domain gate into the
+    orders scan, and contain no cartesian anywhere."""
+    plan = plan_of(spark, "sales_mart")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]]
+    assert any("o_orderstatus" in line for line in pushed), pushed
