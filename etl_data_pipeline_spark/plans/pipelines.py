@@ -316,3 +316,62 @@ def sales_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(CAST(rev * 10000 AS BIGINT)) div count(DISTINCT o_orderkey)"
         ).alias("rev_per_order_dmil"),
     )
+
+
+@query(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS order_month,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the mart aggregate is NOT
+    recomputed from the full table — a pre-existing base aggregate
+    (orders with o_orderkey % 10 != 0, standing in for yesterday's
+    materialized state) merges with the aggregate of today's DELTA
+    (the remaining rows) by summing partial states. The oracle is the
+    full-table recompute, so the driver hash-checks the IVM identity
+    ``merge(agg(base), agg(delta)) == agg(base UNION delta)`` exactly.
+
+    Only self-decomposable aggregates participate (COUNT/SUM — partial
+    states add; distinct counts would need a sketch or a keyed state).
+    Money stays in exact DECIMAL(18,2) through BOTH partial aggregates
+    and the merge, cast to double once at the end — associativity of
+    the decimal sum is what makes the identity exact. Scale: the daily
+    cost is O(delta) + O(|mart|), never O(history); this is the
+    pattern that keeps a 100 TB mart's refresh inside an SLA.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+    )
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("order_month", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("tp").alias("rev_dec"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("order_month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    return merged.select(
+        "order_month",
+        "o_orderstatus",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
