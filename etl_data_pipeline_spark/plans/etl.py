@@ -1693,3 +1693,96 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nf").cast("long").alias("n_failed"),
         F.expr("((n - nf) * 1000000) div n").alias("pass_grid"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'error')
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           d.state,
+           CAST(d.valid_from AS VARCHAR) AS state_since
+    FROM p LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time (AS OF) join — the consumption side of
+    ``scd2_intervals``: each purchase picks up the dimension state
+    (latest signup/error status change) that was valid AT its
+    timestamp, the canonical "fact joins history, not current" pattern.
+
+    A PIT lookup against non-overlapping validity intervals is exactly
+    an as-of join, so the plan reuses the tagged-union carry-forward
+    operator (one shuffle on the key, linear scan — no interval-range
+    join blowup); the oracle states the textbook BETWEEN-validity
+    formulation over the LEAD-built intervals and the hash match proves
+    the equivalence. States at the exact purchase timestamp count
+    (valid_from <= ts), matching the carry-forward's tie order.
+    """
+    from etl_data_pipeline_spark.operators.sessionize import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id", "ts", F.col("event_type").alias("state")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        p, dim, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["state", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("r_state").alias("state"),
+        F.col("r_ts").cast("string").alias("state_since"),
+    )
+
+
+@query(
+    "f2b_topk_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             DENSE_RANK() OVER (ORDER BY FLOOR(o_totalprice / 1000) DESC)
+               AS dr
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, CAST(dr AS BIGINT) AS dr
+    FROM r WHERE dr <= 3
+    """,
+)
+def f2b_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 completion: top-k WITH TIES — everything in the top 3 price
+    BANDS (dense_rank over the coarsened key) rather than an arbitrary
+    row cutoff; the semantics of ANSI FETCH FIRST ... WITH TIES, which
+    Spark lacks as syntax but expresses as a rank filter. The coarse
+    band (floor/1000) manufactures real ties so the variable-size
+    result is exercised. One global window — at 100 TB pre-filter with
+    an approximate threshold first (f2's TakeOrdered shape), then rank
+    only the survivors.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc(F.floor(F.col("o_totalprice") / 1000)))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("long").alias("dr"),
+        )
+        .filter(F.col("dr") <= 3)
+    )
