@@ -128,7 +128,7 @@ _PRIORITY = [
     "fuzzy_levenshtein",
 ]
 
-#: Round-6 rotation carry-over: the 35 round-5 batch-5..11 queries were
+#: Round-6 rotation carry-over: the 39 round-5 batch-5..13 queries were
 #: committed AFTER this round's window was pinned, so they register
 #: behind it and have no driver CORRECTNESS row yet — front them next
 #: round: heavy_hitters_mg, bloom_membership, bigram_lm_score,
@@ -141,8 +141,9 @@ _PRIORITY = [
 #: pq_ann, pq_recall, token_entropy, k9_grouped_apply_in_arrow,
 #: sql_variables, sql_execute_immediate, j3b_dynamic_gap_session,
 #: sql_scripting, mm_image_histogram, b5c_try_arithmetic, h9_collation,
-#: dq_expectations, funnel_latency.
-#: (All 35 are green in the in-repo driver emulator at sf0.01 — see
+#: dq_expectations, funnel_latency, sales_mart, ivm_incremental_agg,
+#: scd2_point_in_time_join, f2b_topk_with_ties.
+#: (All 39 are green in the in-repo driver emulator at sf0.01 — see
 #: the per-batch emulator runs in the round-5 commit history.)
 
 _loaded = False
