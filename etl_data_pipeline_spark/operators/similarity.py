@@ -847,3 +847,53 @@ def pq_rerank(
         .filter(F.col("rn") <= k)
         .select("vec_id", "neighbor", "cosine")
     )
+
+
+def ann_lsh_multiprobe_topk(
+    embeddings: DataFrame, k: int, n_planes: int = 4
+) -> DataFrame:
+    """Multiprobe LSH ANN (Lv et al., VLDB'07): each query probes its
+    own bucket PLUS every Hamming-1 neighbor bucket (one hyperplane bit
+    flipped) — the standard fix for single-probe LSH's recall cliff:
+    near neighbors that landed just across one hyperplane become
+    reachable without adding tables. Probe fan-out is n_planes+1
+    buckets per query; candidates stay bucket-equi-join sharded, and a
+    (q, n) pair can arise from at most one probe (n lives in exactly
+    one bucket), so no dedup pass is needed.
+    """
+    from pyspark.sql.window import Window
+
+    b = lsh_buckets(embeddings, n_planes)
+    probes = b.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.expr(f"bucket ^ {1 << j}") for j in range(n_planes)],
+            )
+        ).alias("pbucket"),
+    )
+    left = probes.join(embeddings, "vec_id").select(
+        F.col("pbucket").alias("bucket"),
+        F.col("vec_id").alias("q"),
+        F.col("embedding").alias("vq"),
+    )
+    right = embeddings.join(b, "vec_id").select(
+        "bucket", F.col("vec_id").alias("n"), F.col("embedding").alias("vn")
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("q") != F.col("n"))
+        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q").alias("vec_id"),
+            F.col("n").alias("neighbor"),
+            "cosine",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -1106,3 +1106,59 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT lang AS cand_lang, token, COUNT(*) AS freq
+      FROM toks GROUP BY lang, token
+    ), scores AS (
+      SELECT t.doc_id, t.lang, f.cand_lang,
+             CAST(SUM(f.freq) AS BIGINT) AS score
+      FROM toks t JOIN freq f ON f.token = t.token
+      GROUP BY t.doc_id, t.lang, f.cand_lang
+    ), pred AS (
+      SELECT doc_id, lang, cand_lang AS pred_lang
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, cand_lang) AS rn FROM scores)
+      WHERE rn = 1
+    ), cells AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, pred_lang
+    ), tot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total
+      FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.pred_lang, c.n, t.lang_total,
+           (c.n * 1000000) // t.lang_total AS share_grid
+    FROM cells c JOIN tot t USING (lang)
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier quality gate for ``lang_id``: the full confusion
+    matrix (actual x predicted language) with exact integer-grid row
+    shares — the accuracy-measurement row that turns the language
+    identifier from "implemented" into "measured" (the retrieval-path
+    recall gates' sibling for a classifier; diagonal shares are
+    per-language accuracy, off-diagonal cells SHOW the confusions).
+
+    Reuses the registered lang_id plan wholesale and adds two tiny aggs
+    — at most |langs|^2 output cells at any corpus size.
+    """
+    pred = lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("lang_total"))
+    return cells.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "lang_total",
+        F.expr("(n * 1000000) div lang_total").alias("share_grid"),
+    )

@@ -837,3 +837,186 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hit") / F.col("n_exact")).alias("recall"),
         ((F.col("n_hit") / F.col("n_exact")) >= 0.4).alias("recall_ok"),
     )
+
+
+#: Shared LSH CTE (4 md5-derived hyperplanes -> signed-projection bit
+#: bucket) + the Hamming-1 multiprobe expansion.
+_LSH_PROBES_BODY = """
+    planes AS (
+      SELECT j.range AS j, p.range AS pos,
+             ((('0x' || SUBSTR(MD5(j.range::VARCHAR || '_' || p.range::VARCHAR), 1, 8))::BIGINT
+               % 2001) - 1000) / 1000.0 AS w
+      FROM RANGE(4) j, RANGE(64) p
+    ), dims AS (
+      SELECT vec_id, i.range AS pos, CAST(embedding[i.range + 1] AS DOUBLE) AS v
+      FROM embeddings, RANGE(64) i
+    ), proj AS (
+      SELECT d.vec_id, pl.j, SUM(d.v * pl.w) AS proj
+      FROM dims d JOIN planes pl USING (pos)
+      GROUP BY d.vec_id, pl.j
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id
+    ), probes AS (
+      SELECT vec_id,
+             UNNEST([bucket, XOR(bucket, 1), XOR(bucket, 2),
+                     XOR(bucket, 4), XOR(bucket, 8)]) AS pbucket
+      FROM buckets
+    ), allcos AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+        ROUND(
+          list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+               * list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))),
+          6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ), mp_cand AS (
+      SELECT pq.vec_id AS q, nb.vec_id AS n, p.cosine
+      FROM probes pq
+      JOIN buckets nb ON nb.bucket = pq.pbucket AND nb.vec_id != pq.vec_id
+      JOIN allcos p ON p.q = pq.vec_id AND p.n = nb.vec_id
+    ), mp3 AS (
+      SELECT q, n, cosine, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                  ORDER BY cosine DESC, n) AS rn
+        FROM mp_cand)
+      WHERE rn <= 3
+    )
+"""
+
+
+@query(
+    "ann_multiprobe",
+    oracle="WITH "
+    + _LSH_PROBES_BODY
+    + """
+    SELECT q AS vec_id, n AS neighbor, cosine, CAST(rn AS BIGINT) AS rn
+    FROM mp3
+    """,
+)
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN: single-probe LSH (ann_lsh) recalls only
+    ~0.14 on this near-random corpus — the known recall cliff of a
+    4-bit signature. Probing the 4 Hamming-1 neighbor buckets as well
+    (operators/similarity.py::ann_lsh_multiprobe_topk) recovers the
+    neighbors that landed just across one hyperplane at 5x the probe
+    fan-out — no extra tables, still bucket-equi-join sharded."""
+    from etl_data_pipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_multiprobe_topk(e, k=3, n_planes=4)
+
+
+@query(
+    "ann_multiprobe_recall",
+    oracle="WITH "
+    + _LSH_PROBES_BODY
+    + """
+    , exact AS (
+      SELECT q, n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                      ORDER BY cosine DESC, n) AS rn FROM allcos)
+      WHERE rn <= 3
+    )
+    SELECT COUNT(*) AS n_exact,
+           COUNT(m.q) AS n_hit,
+           COUNT(m.q) / COUNT(*) AS recall,
+           COUNT(m.q) / COUNT(*) >= 0.3 AS recall_ok
+    FROM exact e LEFT JOIN mp3 m ON m.q = e.q AND m.n = e.n
+    """,
+)
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH quality gate: recall@3 vs exact kNN — the fourth
+    driver-checked retrieval-quality number (LSH-1probe ~0.14, IVF
+    ~0.41, PQ ~0.61, multiprobe 0.50-0.52 measured at sf0.001/0.01 —
+    a 3.6x lift over single-probe for 5x probe fan-out, hash-checked).
+    Gate pinned >= 0.3."""
+    from etl_data_pipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = knn(spark, e, k=3).select("vec_id", "neighbor")
+    approx = (
+        ann_lsh_multiprobe_topk(e, k=3, n_planes=4)
+        .select("vec_id", "neighbor")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["vec_id", "neighbor"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("hit").alias("n_hit")
+    ).select(
+        "n_exact",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        ((F.col("n_hit") / F.col("n_exact")) >= 0.3).alias("recall_ok"),
+    )
+
+
+@query(
+    "i8b_centroid_accuracy",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, i.range AS pos,
+             CAST(embedding[i.range + 1] AS DOUBLE) AS v
+      FROM embeddings, RANGE(64) i
+    ), cent AS (
+      SELECT label AS cand_label, pos, AVG(v) AS c FROM dims GROUP BY label, pos
+    ), cnorm AS (
+      SELECT cand_label, SUM(c * c) AS nc2 FROM cent GROUP BY cand_label
+    ), vnorm AS (
+      SELECT vec_id, SUM(v * v) AS nv2 FROM dims GROUP BY vec_id
+    ), dots AS (
+      SELECT d.vec_id, d.label, c.cand_label, SUM(d.v * c.c) AS dot
+      FROM dims d JOIN cent c USING (pos)
+      GROUP BY d.vec_id, d.label, c.cand_label
+    ), scored AS (
+      SELECT t.vec_id, t.label, t.cand_label,
+             t.dot / SQRT(v.nv2 * n.nc2) AS cos
+      FROM dots t
+      JOIN cnorm n USING (cand_label)
+      JOIN vnorm v USING (vec_id)
+    ), pred AS (
+      SELECT vec_id, label, cand_label AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cand_label) AS rn FROM scored)
+      WHERE rn = 1
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           (CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000)
+             // CAST(COUNT(*) AS BIGINT) AS acc_grid
+    FROM pred GROUP BY label
+    """,
+)
+def i8b_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier quality gate for the centroid classifier (i8):
+    per-label accuracy on exact integer grids — lang_id_confusion's
+    sibling for the embedding side, so every classifier in the repo
+    carries a measured-quality row (labels are cluster-aligned in this
+    corpus, so the diagonal dominating is itself a data property the
+    driver hashes). Reuses the registered operator, adds one agg.
+    """
+    from etl_data_pipeline_spark.operators.similarity import (
+        centroid_classify,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pred = centroid_classify(e).select("label", "pred_label")
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        ).alias("acc_grid"),
+    )
