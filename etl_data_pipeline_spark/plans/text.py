@@ -1162,3 +1162,106 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_total",
         F.expr("(n * 1000000) div lang_total").alias("share_grid"),
     )
+
+
+@query(
+    "bm25_topk",
+    oracle=_TOKENS_CTE
+    + """
+    , q AS (SELECT UNNEST(['join', 'hash', 'vector']) AS term
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ), tf AS (
+      SELECT t.doc_id, t.token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN q ON q.term = t.token
+      GROUP BY t.doc_id, t.token
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * s.n_docs
+                                         / CAST(s.total_len AS DOUBLE)))
+               * 1000000) AS BIGINT) AS term_grid
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_grid) AS BIGINT) AS bm25_grid
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_grid DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-20 for a fixed 3-term query
+    (k1=1.2, b=0.75) — the standard sparse ranking function, completing
+    the retrieval family's lexical leg next to the four dense ANN paths
+    (hybrid search = this plus cosine top-k).
+
+    Exactness: every BM25 input is an integer count (tf, df, dl, N,
+    total length); each (doc, term) partial score is ONE fixed double
+    expression floored onto the 1e-6 grid, then summed as BIGINT —
+    order-independent like every grid sum in this repo. The avgdl
+    division is folded as dl*N/total_len so both engines evaluate the
+    identical expression tree. Scale: tf is a semi-join of the token
+    stream against the tiny query-term set (pushdown-friendly), df/dl
+    are one agg each, and the final TopK is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(d).select("doc_id", "token")
+    terms = ["join", "hash", "vector"]
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("term_grid"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_grid").cast("long").alias("bm25_grid"))
+        .orderBy(F.desc("bm25_grid"), F.asc("doc_id"))
+        .limit(20)
+    )
