@@ -1265,3 +1265,54 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_grid"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def bm25_scores(d: DataFrame, terms: list[str]) -> DataFrame:
+    """Unlimited BM25 grid scores (doc_id, bm25_grid) for a term set —
+    the scoring core of ``bm25_topk``, reused by the hybrid fusion
+    query. Same exact-grid math, no top-k cut."""
+    toks = tokens(d).select("doc_id", "token")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("term_grid"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_grid").cast("long").alias("bm25_grid")
+    )

@@ -1020,3 +1020,120 @@ def i8b_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1)"
         ).alias("acc_grid"),
     )
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), q AS (SELECT UNNEST(['join', 'hash', 'vector']) AS term
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len FROM dl
+    ), tf AS (
+      SELECT t.doc_id, t.token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN q ON q.term = t.token
+      GROUP BY t.doc_id, t.token
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * s.n_docs
+                                         / CAST(s.total_len AS DOUBLE)))
+               * 1000000) AS BIGINT)) AS BIGINT) AS bm25_grid
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ), lex_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_grid DESC, doc_id) AS r
+      FROM bm
+    ), qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT e.vec_id AS doc_id,
+        ROUND(
+          list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(qv.embedding AS DOUBLE[]))
+          / SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               * list_inner_product(CAST(qv.embedding AS DOUBLE[]), CAST(qv.embedding AS DOUBLE[]))),
+          6) AS cosine
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id != 0
+    ), dense_rank_t AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+      FROM dense
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE((1000000000 // (60 + l.r)), 0)
+               + COALESCE((1000000000 // (60 + d.r)), 0) AS rrf_grid,
+             COALESCE(l.r, 0) AS lex_rank,
+             COALESCE(d.r, 0) AS dense_rank
+      FROM lex_rank l FULL OUTER JOIN dense_rank_t d USING (doc_id)
+    )
+    SELECT doc_id, CAST(rrf_grid AS BIGINT) AS rrf_grid,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank
+    FROM fused
+    ORDER BY rrf_grid DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (RRF, k=60) of the
+    lexical BM25 ranking and the dense cosine ranking against a query
+    vector (vec 0; documents and vectors share ids) — the fusion every
+    production search stack runs over its sparse + dense legs. Top-10
+    fused, with both source ranks carried for explainability.
+
+    Exactness: each leg's rank is a total order (score desc, id), and
+    each RRF contribution is the exact integer 1e9 div (60 + rank) —
+    no floating fusion math at all. Scale: the BM25 leg is the shared
+    ``bm25_scores`` core (semi-join + two aggs); the dense leg here is
+    the brute-force broadcast-query scan — at corpus scale swap in any
+    of the four registered ANN paths, the fusion join is unchanged;
+    rank windows run over ALREADY-SCORED small legs (top-N truncation
+    upstream in production).
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.plans.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(d, ["join", "hash", "vector"])
+    wl = Window.orderBy(F.desc("bm25_grid"), F.asc("doc_id"))
+    lex = bm.select("doc_id", F.row_number().over(wl).alias("lr"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_col(F.col("embedding"), F.col("qe")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wd = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    den = dense.select("doc_id", F.row_number().over(wd).alias("dr"))
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000000 div (60 + lr)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + dr)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_grid"),
+        F.coalesce(F.col("lr"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("dr"), F.lit(0)).cast("long").alias("dense_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_grid"), F.asc("doc_id")).limit(10)
