@@ -408,6 +408,49 @@ def centroid_scores(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _cell_topk_kern(k: int):
+    """Shared per-cell numpy kernel: rows tagged side=0 are probing
+    queries, side=1 are cell members; emits each query's local top-k by
+    rounded cosine with (-cosine, id) tie order and self-pairs masked.
+    Used by ivf_topk (cells) and ann_lsh_multiprobe_topk (buckets)."""
+
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        Q = pdf[pdf["side"] == 0]
+        M = pdf[pdf["side"] == 1]
+        if len(Q) == 0 or len(M) == 0:
+            return pd.DataFrame(
+                {
+                    "q": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        q_ids = Q["vid"].to_numpy().astype("int64")
+        m_ids = M["vid"].to_numpy().astype("int64")
+        A = np.stack(Q["embedding"].to_numpy()).astype("float64")
+        B = np.stack(M["embedding"].to_numpy()).astype("float64")
+        C = _cosine_matrix(A, B)
+        C[q_ids[:, None] == m_ids[None, :]] = -np.inf  # mask self-pairs
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, C.shape[1])
+        for i in range(len(q_ids)):
+            row = C[i]
+            order = np.lexsort((m_ids, -row))[:kk]
+            keep = row[order] > -np.inf
+            out_q.append(np.full(keep.sum(), q_ids[i]))
+            out_n.append(m_ids[order][keep])
+            out_c.append(row[order][keep])
+        return pd.DataFrame(
+            {
+                "q": np.concatenate(out_q),
+                "n": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return kern
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
     """IVF-style ANN: label centroids are the coarse quantizer (cells);
     each vector is ASSIGNED to its nearest cell, each query PROBES its
@@ -451,42 +494,8 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
         )
     )
 
-    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        Q = pdf[pdf["side"] == 0]
-        M = pdf[pdf["side"] == 1]
-        if len(Q) == 0 or len(M) == 0:
-            return pd.DataFrame(
-                {
-                    "q": pd.Series(dtype="int64"),
-                    "n": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        q_ids = Q["vid"].to_numpy().astype("int64")
-        m_ids = M["vid"].to_numpy().astype("int64")
-        A = np.stack(Q["embedding"].to_numpy()).astype("float64")
-        B = np.stack(M["embedding"].to_numpy()).astype("float64")
-        C = _cosine_matrix(A, B)
-        C[q_ids[:, None] == m_ids[None, :]] = -np.inf  # mask self-pairs
-        out_q, out_n, out_c = [], [], []
-        kk = min(k, C.shape[1])
-        for i in range(len(q_ids)):
-            row = C[i]
-            order = np.lexsort((m_ids, -row))[:kk]
-            keep = row[order] > -np.inf
-            out_q.append(np.full(keep.sum(), q_ids[i]))
-            out_n.append(m_ids[order][keep])
-            out_c.append(row[order][keep])
-        return pd.DataFrame(
-            {
-                "q": np.concatenate(out_q),
-                "n": np.concatenate(out_n),
-                "cosine": np.concatenate(out_c),
-            }
-        )
-
     local = tagged.groupBy("cell").applyInPandas(
-        kern, schema="q long, n long, cosine double"
+        _cell_topk_kern(k), schema="q long, n long, cosine double"
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (
@@ -863,6 +872,8 @@ def ann_lsh_multiprobe_topk(
     """
     from pyspark.sql.window import Window
 
+    from pyspark.sql.window import Window
+
     b = lsh_buckets(embeddings, n_planes)
     probes = b.select(
         "vec_id",
@@ -873,22 +884,31 @@ def ann_lsh_multiprobe_topk(
             )
         ).alias("pbucket"),
     )
-    left = probes.join(embeddings, "vec_id").select(
-        F.col("pbucket").alias("bucket"),
-        F.col("vec_id").alias("q"),
-        F.col("embedding").alias("vq"),
+    # per-bucket numpy matmul kernel (the ivf_topk kernel, reused): the
+    # per-pair HOF cosine form spent 24.8 s at sf0.1 on the 5x probe
+    # fan-out (~7.8M zip_with/aggregate evaluations); the bucket-kernel
+    # form runs the same candidates as <= 16 matmuls. A (q, n) pair
+    # arises from at most one probe (n lives in exactly one bucket), so
+    # local top-k results merge without dedup.
+    tagged = probes.join(embeddings, "vec_id").select(
+        F.col("pbucket").alias("cell"),
+        F.col("vec_id").alias("vid"),
+        "embedding",
+        F.lit(0).alias("side"),
+    ).unionByName(
+        embeddings.join(b, "vec_id").select(
+            F.col("bucket").alias("cell"),
+            F.col("vec_id").alias("vid"),
+            "embedding",
+            F.lit(1).alias("side"),
+        )
     )
-    right = embeddings.join(b, "vec_id").select(
-        "bucket", F.col("vec_id").alias("n"), F.col("embedding").alias("vn")
-    )
-    pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("q") != F.col("n"))
-        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
+    local = tagged.groupBy("cell").applyInPandas(
+        _cell_topk_kern(k), schema="q long, n long, cosine double"
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
             F.col("q").alias("vec_id"),

@@ -128,7 +128,7 @@ _PRIORITY = [
     "fuzzy_levenshtein",
 ]
 
-#: Round-6 rotation carry-over: the 39 round-5 batch-5..13 queries were
+#: Round-6 rotation carry-over: the 45 round-5 batch-5..15 queries were
 #: committed AFTER this round's window was pinned, so they register
 #: behind it and have no driver CORRECTNESS row yet — front them next
 #: round: heavy_hitters_mg, bloom_membership, bigram_lm_score,
@@ -142,8 +142,10 @@ _PRIORITY = [
 #: sql_variables, sql_execute_immediate, j3b_dynamic_gap_session,
 #: sql_scripting, mm_image_histogram, b5c_try_arithmetic, h9_collation,
 #: dq_expectations, funnel_latency, sales_mart, ivm_incremental_agg,
-#: scd2_point_in_time_join, f2b_topk_with_ties.
-#: (All 39 are green in the in-repo driver emulator at sf0.01 — see
+#: scd2_point_in_time_join, f2b_topk_with_ties, ann_multiprobe,
+#: ann_multiprobe_recall, lang_id_confusion, i8b_centroid_accuracy,
+#: bm25_topk, hybrid_rrf_search.
+#: (All 45 are green in the in-repo driver emulator at sf0.01 — see
 #: the per-batch emulator runs in the round-5 commit history.)
 
 _loaded = False
