@@ -673,3 +673,35 @@ def test_sales_mart_broadcasts_dims_and_pushes_status_filter(spark):
     assert "CartesianProduct" not in plan
     pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]]
     assert any("o_orderstatus" in line for line in pushed), pushed
+
+
+def test_round6_carryover_names_exist():
+    """The registry's round-6 rotation comment names the queries with no
+    driver CORRECTNESS row yet; every name must actually be registered,
+    so next round's _PRIORITY rotation can be built from the comment
+    without archaeology."""
+    carryover = [
+        "heavy_hitters_mg", "bloom_membership", "bigram_lm_score",
+        "event_transition_matrix", "skyline_price_size",
+        "benford_digit_audit", "cusum_changepoint", "sql_pipe_syntax",
+        "sql_parameterized", "c8c_asof_nearest", "interval_coverage",
+        "session_path_trigrams", "weighted_median", "e1d_cume_dist_nth",
+        "j13_stream_static_enrich", "mm_audio_energy",
+        "neardup_link_predict", "robust_zscore_mad", "containment_pairs",
+        "table_diff", "d5d_grouping_id", "data_skew_report", "pq_ann",
+        "pq_recall", "token_entropy", "k9_grouped_apply_in_arrow",
+        "sql_variables", "sql_execute_immediate",
+        "j3b_dynamic_gap_session", "sql_scripting", "mm_image_histogram",
+        "b5c_try_arithmetic", "h9_collation", "dq_expectations",
+        "funnel_latency", "sales_mart", "ivm_incremental_agg",
+        "scd2_point_in_time_join", "f2b_topk_with_ties", "ann_multiprobe",
+        "ann_multiprobe_recall", "lang_id_confusion",
+        "i8b_centroid_accuracy", "bm25_topk", "hybrid_rrf_search",
+    ]
+    assert len(carryover) == 45
+    from etl_data_pipeline_spark.plans import ORACLES
+
+    missing = [n for n in carryover if n not in QUERIES]
+    assert not missing, missing
+    no_oracle = [n for n in carryover if n not in ORACLES]
+    assert not no_oracle, no_oracle
