@@ -60,8 +60,37 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _wait_for_quiet_host() -> dict:
+    """Refuse to start a timed run on a loaded host (VERDICT r5: the
+    artifact of record must never be a loaded-host run — BENCH_r05
+    started at loadavg 12.2 and published a spurious 2.84x on q1).
+
+    Polls ``os.getloadavg()[0]`` until it drops below the gate
+    (default 2.0, ``$SPARK_GRAFT_LOAD_GATE``) or the max wait elapses
+    (default 600 s, ``$SPARK_GRAFT_LOAD_WAIT_MAX``); either way the
+    outcome is recorded in load_context so a contaminated run is
+    self-describing, not silent.
+    """
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "600"))
+    waited = 0.0
+    samples = [round(os.getloadavg()[0], 2)]
+    while samples[-1] >= gate and waited < max_wait:
+        step = min(15.0, max_wait - waited)
+        time.sleep(step)
+        waited += step
+        samples.append(round(os.getloadavg()[0], 2))
+    return {
+        "gate": gate,
+        "waited_sec": round(waited, 1),
+        "samples": samples[-8:],
+        "quiet": samples[-1] < gate,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_gate = _wait_for_quiet_host()
     # Load context: a uniform cross-query slowdown with unchanged code is
     # a host-contention signature; record the 1/5/15-min loadavg around
     # the run so a regression can be attributed (or not) to a noisy host
@@ -139,6 +168,7 @@ def main() -> None:
     if scaling is not None:
         record["scaling"] = scaling
     record["load_context"] = {
+        "load_gate": load_gate,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "ncpus": os.cpu_count(),

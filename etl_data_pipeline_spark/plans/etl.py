@@ -1163,7 +1163,13 @@ def _skyline_block(batches):
     """
     import pandas as pd
 
-    pdf = pd.concat(list(batches), ignore_index=True)
+    dfs = list(batches)
+    if not dfs:
+        # mapInPandas invokes the UDF with an EMPTY iterator for empty
+        # partitions (more shuffle partitions than groups); pd.concat([])
+        # raises, so yield nothing instead.
+        return
+    pdf = pd.concat(dfs, ignore_index=True)
     if len(pdf) == 0:
         yield pdf
         return

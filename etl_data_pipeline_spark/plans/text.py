@@ -544,17 +544,20 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-token/garbled documents; a pipeline filters on a score band.
 
     Two passes, both JVM-side: (1) token counts (one shuffle on token),
-    (2) counts broadcast-joined back to the token stream (vocab is
-    |distinct tokens| — Zipf-bounded, broadcastable at any corpus
-    scale), then a per-doc mean. The corpus total rides along as a
-    literal-free cross join of a 1-row aggregate.
+    (2) counts joined back to the token stream, then a per-doc mean.
+    The vocab table is |distinct tokens| — 10^8-10^9 on a 100 TB web
+    corpus, past executor broadcast limits — so it is NOT hinted: the
+    join shuffles on the token key, co-partitioned with the groupBy
+    that produced the counts (one exchange reused for both), and AQE
+    may still pick a broadcast at runtime when the vocab is small.
+    Only the single-row corpus total carries a hint.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(d).select("doc_id", "token")
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(vocab, "token")
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("logp"))
     )
@@ -1214,54 +1217,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression tree. Scale: tf is a semi-join of the token
     stream against the tiny query-term set (pushdown-friendly), df/dl
     are one agg each, and the final TopK is TakeOrderedAndProject.
+
+    Scoring is ``bm25_scores`` — the single copy of the grid pipeline
+    shared with ``hybrid_rrf_search`` (ADVICE r5: the two copies could
+    silently drift).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(d).select("doc_id", "token")
-    terms = ["join", "hash", "vector"]
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
-    tf = (
-        toks.filter(F.col("token").isin(terms))
-        .groupBy("doc_id", F.col("token").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.floor(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2
-                    * (
-                        0.25
-                        + 0.75
-                        * F.col("dl")
-                        * F.col("n_docs")
-                        / F.col("total_len").cast("double")
-                    )
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("term_grid"),
-        )
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_grid").cast("long").alias("bm25_grid"))
+        bm25_scores(d, ["join", "hash", "vector"])
         .orderBy(F.desc("bm25_grid"), F.asc("doc_id"))
         .limit(20)
     )

@@ -156,27 +156,50 @@ def i8_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_classify(e)
 
 
-@query(
-    "ann_lsh",
-    oracle="""
-    WITH planes AS (
+#: Shared LSH bucket oracle body (mirrors operators/similarity.py::
+#: lsh_buckets): INTEGER hyperplane weights (md5%2001-1000) applied to
+#: int8-QUANTIZED dims (the verbatim i6c quantize expression), so each
+#: projection is an exact integer sum — the sign test is
+#: accumulation-order independent in both engines (ADVICE r5 fix).
+_LSH_BUCKETS_BODY = """
+    planes AS (
       SELECT j.range AS j, p.range AS pos,
              ((('0x' || SUBSTR(MD5(j.range::VARCHAR || '_' || p.range::VARCHAR), 1, 8))::BIGINT
-               % 2001) - 1000) / 1000.0 AS w
+               % 2001) - 1000) AS w
       FROM RANGE(4) j, RANGE(64) p
-    ), dims AS (
-      SELECT vec_id, i.range AS pos, CAST(embedding[i.range + 1] AS DOUBLE) AS v
-      FROM embeddings, RANGE(64) i
+    ), lq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> FLOOR(x * 127.0
+                          / (CASE WHEN m = 0 THEN 1.0 ELSE m END)
+                          + 0.5)) AS lqe
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> ABS(x)), 'max') AS m
+            FROM embeddings) lqs
+    ), ldims AS (
+      SELECT vec_id, i.range AS pos, lqe[i.range + 1] AS v
+      FROM lq, RANGE(64) i
     ), proj AS (
-      SELECT d.vec_id, pl.j, SUM(d.v * pl.w) AS proj
-      FROM dims d JOIN planes pl USING (pos)
+      SELECT d.vec_id, pl.j, CAST(SUM(d.v * pl.w) AS BIGINT) AS proj
+      FROM ldims d JOIN planes pl USING (pos)
       GROUP BY d.vec_id, pl.j
     ), buckets AS (
       SELECT vec_id,
              CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
                AS bucket
       FROM proj GROUP BY vec_id
-    ), pairs AS (
+    )
+"""
+
+
+@query(
+    "ann_lsh",
+    oracle="WITH "
+    + _LSH_BUCKETS_BODY
+    + """
+    , pairs AS (
       SELECT qa.vec_id AS q, qb.vec_id AS n,
         ROUND(
           list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
@@ -207,8 +230,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_recall",
-    oracle="""
-    WITH pairs AS (
+    oracle="WITH "
+    + _LSH_BUCKETS_BODY
+    + """
+    , pairs AS (
       SELECT a.vec_id AS q, b.vec_id AS n,
         ROUND(
           list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -221,23 +246,6 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
                       ORDER BY cosine DESC, n) AS rn FROM pairs)
       WHERE rn <= 3
-    ), planes AS (
-      SELECT j.range AS j, p.range AS pos,
-             ((('0x' || SUBSTR(MD5(j.range::VARCHAR || '_' || p.range::VARCHAR), 1, 8))::BIGINT
-               % 2001) - 1000) / 1000.0 AS w
-      FROM RANGE(4) j, RANGE(64) p
-    ), dims AS (
-      SELECT vec_id, i.range AS pos, CAST(embedding[i.range + 1] AS DOUBLE) AS v
-      FROM embeddings, RANGE(64) i
-    ), proj AS (
-      SELECT d.vec_id, pl.j, SUM(d.v * pl.w) AS proj
-      FROM dims d JOIN planes pl USING (pos)
-      GROUP BY d.vec_id, pl.j
-    ), buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-               AS bucket
-      FROM proj GROUP BY vec_id
     ), lsh_cand AS (
       SELECT qa.vec_id AS q, qb.vec_id AS n, p.cosine
       FROM buckets qa
@@ -841,25 +849,8 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared LSH CTE (4 md5-derived hyperplanes -> signed-projection bit
 #: bucket) + the Hamming-1 multiprobe expansion.
-_LSH_PROBES_BODY = """
-    planes AS (
-      SELECT j.range AS j, p.range AS pos,
-             ((('0x' || SUBSTR(MD5(j.range::VARCHAR || '_' || p.range::VARCHAR), 1, 8))::BIGINT
-               % 2001) - 1000) / 1000.0 AS w
-      FROM RANGE(4) j, RANGE(64) p
-    ), dims AS (
-      SELECT vec_id, i.range AS pos, CAST(embedding[i.range + 1] AS DOUBLE) AS v
-      FROM embeddings, RANGE(64) i
-    ), proj AS (
-      SELECT d.vec_id, pl.j, SUM(d.v * pl.w) AS proj
-      FROM dims d JOIN planes pl USING (pos)
-      GROUP BY d.vec_id, pl.j
-    ), buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-               AS bucket
-      FROM proj GROUP BY vec_id
-    ), probes AS (
+_LSH_PROBES_BODY = _LSH_BUCKETS_BODY + """
+    , probes AS (
       SELECT vec_id,
              UNNEST([bucket, XOR(bucket, 1), XOR(bucket, 2),
                      XOR(bucket, 4), XOR(bucket, 8)]) AS pbucket

@@ -318,6 +318,16 @@ def test_source_kl_vocab_join_not_hint_broadcast(spark):
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
 
 
+def test_unigram_lm_vocab_join_not_hint_broadcast(spark):
+    """unigram_lm_score must NOT hint-broadcast the vocab counts table
+    (10^8-10^9 distinct tokens on a 100 TB web corpus — past executor
+    broadcast limits).  The token-key shuffle join / AQE decides; the
+    only mandatory hint is the single-row corpus-total crossJoin."""
+    df = QUERIES["unigram_lm_score"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1, analyzed
+
+
 def test_q19_disjunction_pushed_to_both_scans(spark):
     """tpch_q19's OR-of-ANDs spans both join sides; Catalyst must
     extract the single-side implications and push them into BOTH parquet
