@@ -63,90 +63,75 @@ _PLAN_MODULES = [
 #: these. Unknown names are ignored (defensive: a renamed query must
 #: not break loading).
 _PRIORITY = [
-    # -- never driver-checked (added post-r04-run) ----------------------
-    "dedup_survivorship",
-    # -- changed in round 5 (need fresh evidence) -----------------------
-    # LSH band-bucket cap (operators/text.py) + mirrored oracle CTE
-    "i4b_minhash_lsh",
-    "neardup_clusters",
-    "pagerank_neardup",
-    # de-hinted vocab joins (scale posture; same results)
-    "pmi_bigrams",
-    "source_kl_divergence",
-    # integer df-cap compare (float-boundary guard)
-    "i4_jaccard_pairs",
-    # byte-semantics oracles (non-ASCII-safe parity)
-    "mm_features",
-    "mm_decode_image",
-    "mm_decode_video",
-    "mm_frame_sample",
-    # single-execution cache fix
-    "runtime_bloom_join",
-    # rows-only -> exact error-bound oracles (ann_recall template)
-    "d4_approx_distinct",
-    "d8b_percentile_approx",
-    "kmeans_lloyd",
-    # -- new in round 5 -------------------------------------------------
-    "lsh_bucket_stats",
-    "tpch_q4_exists",
-    "tpch_q14_promo_share",
-    "tpch_q19_disjunctive",
-    "neardup_degree_hist",
-    "j12_stream_sliding",
-    "neardup_triangles",
-    "mmr_diversified_topk",
-    "kcore_peel",
-    "pps_systematic_sample",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q2_min_cost",
-    "tpch_q21_waiting",
-    "tpch_q22_idle_customers",
-    "tpch_q7_volume",
-    "ewma_smooth",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "minhash_est_quality",
-    "a17_zorder_layout",
-    "weighted_sample_topk",
-    "rfm_segmentation",
-    "dq_fk_orphans",
-    "ivf_recall",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returned_topk",
-    "tpch_q12_priority_lines",
-    "tpch_q20_excess_share",
-    # perf rewrites from the sf0.1 registry sweep / two-scale slope
-    # check (c9/ivf results unchanged; fuzzy regrained to distinct
-    # names).  _PRIORITY now holds exactly 50 names — the full driver
-    # window, matching the 50 that held in r04.
-    "c9_nullsafe_join",
-    "ivf_ann",
-    "fuzzy_levenshtein",
+    # -- the 45 queries with NO driver CORRECTNESS row (registered
+    # after the r05 window was pinned; VERDICT r5 item 1: drain this
+    # backlog so cumulative driver coverage returns to registry/registry.
+    # Registry growth is FROZEN this round except where a fix forces a
+    # new query. ----------------------------------------------------
+    "heavy_hitters_mg",
+    "bloom_membership",
+    "bigram_lm_score",
+    "event_transition_matrix",
+    "skyline_price_size",
+    "benford_digit_audit",
+    "cusum_changepoint",
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    "c8c_asof_nearest",
+    "interval_coverage",
+    "session_path_trigrams",
+    "weighted_median",
+    "e1d_cume_dist_nth",
+    "j13_stream_static_enrich",
+    "mm_audio_energy",
+    "neardup_link_predict",
+    "robust_zscore_mad",
+    "containment_pairs",
+    "table_diff",
+    "d5d_grouping_id",
+    "data_skew_report",
+    "pq_ann",
+    "pq_recall",
+    "token_entropy",
+    "k9_grouped_apply_in_arrow",
+    "sql_variables",
+    "sql_execute_immediate",
+    "j3b_dynamic_gap_session",
+    "sql_scripting",
+    "mm_image_histogram",
+    "b5c_try_arithmetic",
+    "h9_collation",
+    "dq_expectations",
+    "funnel_latency",
+    "sales_mart",
+    "ivm_incremental_agg",
+    "scd2_point_in_time_join",
+    "f2b_topk_with_ties",
+    "ann_multiprobe",
+    "ann_multiprobe_recall",
+    "lang_id_confusion",
+    "i8b_centroid_accuracy",
+    "bm25_topk",
+    "hybrid_rrf_search",
+    # -- slack (5): changed in round 6, need fresh driver evidence ---
+    # lsh_buckets moved to an integer-grid sign test (bucket contents
+    # changed -> ann_lsh/ann_recall; multiprobe pair is in the 45);
+    # unigram_lm_score lost its full-vocab broadcast hint; q1 was
+    # last driver-checked r1 and its money sums were rewritten r5
+    # (stale-check audit, VERDICT r5 item 4); containment_df_stats is
+    # the one fix-forced new query (item 6's divert-rate gate).
+    "ann_lsh",
+    "ann_recall",
+    "unigram_lm_score",
+    "q1_pricing_summary",
+    "containment_df_stats",
 ]
 
-#: Round-6 rotation carry-over: the 45 round-5 batch-5..15 queries were
-#: committed AFTER this round's window was pinned, so they register
-#: behind it and have no driver CORRECTNESS row yet — front them next
-#: round: heavy_hitters_mg, bloom_membership, bigram_lm_score,
-#: event_transition_matrix, skyline_price_size, benford_digit_audit,
-#: cusum_changepoint, sql_pipe_syntax, sql_parameterized,
-#: c8c_asof_nearest, interval_coverage, session_path_trigrams,
-#: weighted_median, e1d_cume_dist_nth, j13_stream_static_enrich,
-#: mm_audio_energy, neardup_link_predict, robust_zscore_mad,
-#: containment_pairs, table_diff, d5d_grouping_id, data_skew_report,
-#: pq_ann, pq_recall, token_entropy, k9_grouped_apply_in_arrow,
-#: sql_variables, sql_execute_immediate, j3b_dynamic_gap_session,
-#: sql_scripting, mm_image_histogram, b5c_try_arithmetic, h9_collation,
-#: dq_expectations, funnel_latency, sales_mart, ivm_incremental_agg,
-#: scd2_point_in_time_join, f2b_topk_with_ties, ann_multiprobe,
-#: ann_multiprobe_recall, lang_id_confusion, i8b_centroid_accuracy,
-#: bm25_topk, hybrid_rrf_search.
-#: (All 45 are green in the in-repo driver emulator at sf0.01 — see
-#: the per-batch emulator runs in the round-5 commit history.)
+#: Round-6 status: _PRIORITY holds exactly the 45 never-driver-checked
+#: queries plus 5 changed-in-round-6 slack slots = the full 50-query
+#: window.  After the r06 driver run, cumulative coverage is
+#: 270/270 registered queries (225 through r05 + the 45 above; the 5
+#: slack re-checks refresh stale rows, they don't add new names).
 
 _loaded = False
 

@@ -685,11 +685,14 @@ def test_sales_mart_broadcasts_dims_and_pushes_status_filter(spark):
     assert any("o_orderstatus" in line for line in pushed), pushed
 
 
-def test_round6_carryover_names_exist():
-    """The registry's round-6 rotation comment names the queries with no
-    driver CORRECTNESS row yet; every name must actually be registered,
-    so next round's _PRIORITY rotation can be built from the comment
-    without archaeology."""
+def test_round6_priority_is_backlog_plus_slack():
+    """Round-6 rotation invariant (VERDICT r5 item 1): _PRIORITY is
+    exactly the 45 queries with no cumulative driver CORRECTNESS row
+    (r01-r05) followed by the 5 changed-in-round-6 slack re-checks — the
+    full 50-slot window, every name registered with an oracle, and the
+    registry's iteration order puts the window first."""
+    from etl_data_pipeline_spark.plans.registry import _PRIORITY
+
     carryover = [
         "heavy_hitters_mg", "bloom_membership", "bigram_lm_score",
         "event_transition_matrix", "skyline_price_size",
@@ -708,10 +711,17 @@ def test_round6_carryover_names_exist():
         "ann_multiprobe_recall", "lang_id_confusion",
         "i8b_centroid_accuracy", "bm25_topk", "hybrid_rrf_search",
     ]
+    slack = [
+        "ann_lsh", "ann_recall", "unigram_lm_score",
+        "q1_pricing_summary", "containment_df_stats",
+    ]
     assert len(carryover) == 45
+    assert _PRIORITY == carryover + slack
     from etl_data_pipeline_spark.plans import ORACLES
 
-    missing = [n for n in carryover if n not in QUERIES]
+    missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, missing
-    no_oracle = [n for n in carryover if n not in ORACLES]
+    no_oracle = [n for n in _PRIORITY if n not in ORACLES]
     assert not no_oracle, no_oracle
+    # the driver's ~50-slot window follows registry iteration order
+    assert list(QUERIES)[: len(_PRIORITY)] == _PRIORITY

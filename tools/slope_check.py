@@ -3,6 +3,9 @@ Data grows 10x; a slope near or above 10 flags superlinear work."""
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from etl_data_pipeline_spark.plans import QUERIES, load_all_plans
 from etl_data_pipeline_spark.session import get_spark
