@@ -662,32 +662,40 @@ def mmr_candidates(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """MMR stage 1 (the distributed part, exposed for plan audits):
     quantized dims, per-vector norms, and the top-``n_cand`` relevance
-    cut vs the query vector.  The cut is ``orderBy().limit()`` —
-    TakeOrderedAndProject, distributed top-k — never a no-partition
-    row_number window that would funnel every relevance row through one
-    task at corpus scale."""
+    cut vs the query vector.
+
+    The relevance pass is shuffle-free: the query's quantized vector is
+    ONE bounded pin (64 ints — the canonical ANN query-vector pattern)
+    folded into row-level higher-order expressions (zip_with dot,
+    per-row norm), so every score is a narrow map over the scan and the
+    only wide op is the ``orderBy().limit()`` cut —
+    TakeOrderedAndProject, distributed top-k, never a no-partition
+    window.  All quantized values are exact integers (< 2^53), so the
+    HOF fold is bit-identical to the former explode/groupBy plan in any
+    evaluation order."""
     qe = quantize_embeddings(embeddings)
     dims = qe.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
     norms = dims.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("n2")
     )
-    qd = dims.filter(F.col("vec_id") == query_id).select(
-        "pos", F.col("v").alias("qv")
+    qv = qe.filter(F.col("vec_id") == query_id).select("embedding").collect()[
+        0
+    ]["embedding"]
+    qn2 = float(sum(x * x for x in qv))
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    qn2 = norms.filter(F.col("vec_id") == query_id).select(
-        F.col("n2").alias("qn2")
+    n2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     rel = (
-        dims.filter(F.col("vec_id") != query_id)
-        .join(F.broadcast(qd), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
-        .join(norms, "vec_id")
-        .crossJoin(F.broadcast(qn2))
-        .select(
-            "vec_id",
-            (F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))).alias("r"),
-        )
+        qe.filter(F.col("vec_id") != query_id)
+        .select("vec_id", (dot / F.sqrt(n2 * F.lit(qn2))).alias("r"))
     )
     cand = (
         rel.orderBy(F.desc("r"), F.asc("vec_id"))
@@ -736,31 +744,52 @@ def mmr_diversified(
             "candidate generation at this scale"
         )
     dims, norms, cand = mmr_candidates(embeddings, query_id, n_cand)
-    cd = dims.join(cand.select("vec_id"), "vec_id")
-    a = cd.select(F.col("vec_id").alias("c1"), "pos", F.col("v").alias("v1"))
-    b = cd.select(F.col("vec_id").alias("c2"), "pos", F.col("v").alias("v2"))
-    dots = (
-        a.join(b, "pos")
-        .filter(F.col("c1") != F.col("c2"))
-        .groupBy("c1", "c2")
-        .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot"))
+    # Collect the candidate cut ONCE (n_cand rows, the same pin the
+    # greedy needs anyway) and rebuild the pairwise stage from an
+    # isin() filter on the collected ids — a pushdown-able predicate on
+    # the base scan — instead of referencing `cand` in three separate
+    # actions, which re-executed the whole stage-1 top-k pipeline per
+    # action (measured 3x the query's cost at sf0.1).
+    cand_rows = cand.collect()
+    rel_map = {row["vec_id"]: row["r"] for row in cand_rows}
+    cand_ids = sorted(rel_map)
+    # Pairwise sims over the n_cand survivors as a bounded crossJoin of
+    # two isin-pruned (pushdown-able) n_cand-row frames with row-level
+    # HOF dot/norm folds — no explode, no pos-join, no groupBy; exact
+    # integers throughout, so bit-identical to the former dims plan.
+    ce = quantize_embeddings(embeddings).filter(
+        F.col("vec_id").isin(cand_ids)
     )
-    n1 = norms.select(F.col("vec_id").alias("c1"), F.col("n2").alias("n21"))
-    nn2 = norms.select(F.col("vec_id").alias("c2"), F.col("n2").alias("n22"))
+    ca = ce.select(F.col("vec_id").alias("c1"), F.col("embedding").alias("e1"))
+    cb = ce.select(F.col("vec_id").alias("c2"), F.col("embedding").alias("e2"))
+    hof_dot = F.aggregate(
+        F.zip_with(F.col("e1"), F.col("e2"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def hof_n2(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     sims = (
-        dots.join(n1, "c1")
-        .join(nn2, "c2")
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("c1") != F.col("c2"))
         .select(
             "c1",
             "c2",
-            (F.col("dot") / F.sqrt(F.col("n21") * F.col("n22"))).alias("s"),
+            (hof_dot / F.sqrt(hof_n2(F.col("e1")) * hof_n2(F.col("e2")))).alias(
+                "s"
+            ),
         )
     )
-    rel_map = {row["vec_id"]: row["r"] for row in cand.collect()}
     sim_map = {(row["c1"], row["c2"]): row["s"] for row in sims.collect()}
     selected: list[int] = []
     rows = []
-    remaining = sorted(rel_map)
+    remaining = list(cand_ids)
     for rank in range(1, k + 1):
         best, best_score = None, None
         for c in remaining:

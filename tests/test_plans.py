@@ -381,6 +381,11 @@ def test_mmr_candidate_cut_is_take_ordered(spark):
     for line in tree.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line  # single-row norm broadcast only
+    # round-6 shape: the relevance pass is a row-level HOF fold — a
+    # narrow map over the scan with NO exchange and NO join below the
+    # TakeOrdered cut (the former explode/groupBy plan shuffled twice)
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
 
 
 def test_q13_zero_bucket_join_stays_outer(spark):
