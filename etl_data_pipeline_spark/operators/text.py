@@ -158,32 +158,52 @@ def jaccard_pairs(
     )
 
 
+def _minhash_wide(docs: DataFrame, num_hashes: int) -> DataFrame:
+    """One row per doc with all ``num_hashes`` minhashes as columns
+    m0..m{n-1} — ONE groupBy over the distinct (doc_id, token) stream
+    with num_hashes min-aggregates, instead of exploding every token row
+    num_hashes times before aggregating (a 16x row amplification on the
+    hot shared path of the whole LSH family; the per-permutation affine
+    constants fold into each aggregate's expression).  Values are
+    identical to the long-format pipeline: same h, same
+    (a_i*h + b_i) mod P, same min."""
+    t = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .withColumn("h", md5_hash32(F.col("token")) % MINHASH_P)
+    )
+    return t.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (
+                    F.lit(i * 37 + 11) * F.col("h")
+                    + F.lit(i * 104729 + 17)
+                )
+                % MINHASH_P
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
     """MinHash signatures: (doc_id, i, minhash) for i in [0, num_hashes).
 
     Affine permutations h_i(x) = (a_i * x + b_i) mod P over the md5-based
-    token hash. Pure groupBy(min) — no global state, linear scale-out.
+    token hash. Pure groupBy(min) — no global state, linear scale-out;
+    the long format is unpivoted from the wide per-doc aggregate AFTER
+    the shuffle, so the amplification happens on |docs| rows, not
+    |tokens|.
     """
-    t = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .distinct()
-        .withColumn("h", md5_hash32(F.col("token")) % MINHASH_P)
-    )
-    hashes = t.select(
+    wide = _minhash_wide(docs, num_hashes)
+    return wide.select(
         "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        (
-            ((F.col("i") * 37 + 11) * F.col("h") + (F.col("i") * 104729 + 17))
-            % MINHASH_P
-        ).alias("hv"),
+        F.posexplode(
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        ).alias("i", "minhash"),
     )
-    return hashes.groupBy("doc_id", "i").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_bands(
@@ -192,16 +212,29 @@ def minhash_bands(
     """LSH banding stage: (doc_id, band, band_key) — ``band_size``
     consecutive signature rows concatenated into the bucket key. Shared
     by ``minhash_lsh_pairs`` (candidate join) and the bucket-size divert
-    report (plans/text.py::lsh_bucket_stats)."""
-    sig = minhash_signatures(docs, num_hashes)
-    return (
-        sig.withColumn("band", (F.col("i") / band_size).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-", F.transform(F.array_sort(F.collect_list(F.struct("i", "minhash"))), lambda s: s["minhash"].cast("string"))
-            ).alias("band_key")
-        )
+    report (plans/text.py::lsh_bucket_stats).  Band keys come straight
+    off the wide per-doc aggregate (concat of the band's minhash
+    columns, ascending i — the same order the former
+    array_sort(collect_list) produced), skipping the second
+    groupBy(doc_id, band) entirely."""
+    wide = _minhash_wide(docs, num_hashes)
+    n_bands = num_hashes // band_size
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"m{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
     )
 
 
