@@ -120,11 +120,11 @@ _PRIORITY = [
     # last driver-checked r1 and its money sums were rewritten r5
     # (stale-check audit, VERDICT r5 item 4); containment_df_stats is
     # the one fix-forced new query (item 6's divert-rate gate).
+    "containment_df_stats",
     "ann_lsh",
     "ann_recall",
     "unigram_lm_score",
     "q1_pricing_summary",
-    "containment_df_stats",
 ]
 
 #: Round-6 status: _PRIORITY holds exactly the 45 never-driver-checked

@@ -717,8 +717,8 @@ def test_round6_priority_is_backlog_plus_slack():
         "i8b_centroid_accuracy", "bm25_topk", "hybrid_rrf_search",
     ]
     slack = [
-        "ann_lsh", "ann_recall", "unigram_lm_score",
-        "q1_pricing_summary", "containment_df_stats",
+        "containment_df_stats", "ann_lsh", "ann_recall",
+        "unigram_lm_score", "q1_pricing_summary",
     ]
     assert len(carryover) == 45
     assert _PRIORITY == carryover + slack
