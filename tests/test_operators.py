@@ -675,3 +675,24 @@ def test_pq_recall_vs_exact(spark):
     ).count()
     total = exact.count()
     assert hits / total >= 0.4, (hits, total)
+
+
+def test_lsh_buckets_partition_invariant(spark):
+    """The round-6 integer-grid sign test (ADVICE r5): bucket
+    assignments must be IDENTICAL under different partitionings — the
+    former float SUM(v*w) projection could flip a sign bit within
+    epsilon of zero depending on accumulation order.  Exact integer
+    sums cannot."""
+    from etl_data_pipeline_spark.catalog import load_table
+    from etl_data_pipeline_spark.operators.similarity import lsh_buckets
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    base = lsh_buckets(e, n_planes=4).orderBy("vec_id").toPandas()
+    for n_parts in (1, 3, 17):
+        alt = (
+            lsh_buckets(e.repartition(n_parts), n_planes=4)
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        assert (base["vec_id"].values == alt["vec_id"].values).all()
+        assert (base["bucket"].values == alt["bucket"].values).all(), n_parts
