@@ -696,3 +696,45 @@ def test_lsh_buckets_partition_invariant(spark):
         )
         assert (base["vec_id"].values == alt["vec_id"].values).all()
         assert (base["bucket"].values == alt["bucket"].values).all(), n_parts
+
+
+def test_misra_gries_flags_partition_independent(spark):
+    """The MG guarantee (recall above N/(K+1), never-overcount) must
+    hold for ANY partitioning — the flags heavy_hitters_mg hashes are
+    deterministic even though raw estimates are not.  Fold the sketch
+    over 1, 3 and 8 partitions and check every above-threshold item
+    survives with estimate in [true - N/(K+1), true] each time."""
+    import pandas as pd
+
+    from etl_data_pipeline_spark.catalog import load_table
+    from etl_data_pipeline_spark.plans.sketches import misra_gries_partial
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").alias("item")
+    )
+    exact = {
+        r["item"]: r["n"]
+        for r in ev.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    k = 40  # small K so the threshold bites on sf0.001
+    heavy = {i for i, c in exact.items() if c * (k + 1) > n_total}
+    assert heavy, "fixture must have at least one heavy hitter"
+    for n_parts in (1, 3, 8):
+        partials = ev.repartition(n_parts).mapInPandas(
+            lambda batches: misra_gries_partial(batches, k),
+            schema="item long, est long",
+        )
+        est = {
+            r["item"]: r["est"]
+            for r in partials.groupBy("item")
+            .agg(F.sum("est").alias("est"))
+            .collect()
+        }
+        for item in heavy:
+            assert item in est, (n_parts, item)
+            assert est[item] <= exact[item], (n_parts, item)
+            assert (exact[item] - est[item]) * (k + 1) <= n_total, (
+                n_parts,
+                item,
+            )
