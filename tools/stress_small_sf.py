@@ -8,7 +8,12 @@ mapInPandas invokes the UDF with an empty iterator when shuffle
 partitions exceed distinct groups) — the standing sf0.01 emulator never
 exercises it.  Usage::
 
-    python tools/stress_small_sf.py [sf_dir] [shuffle_partitions]
+    python tools/stress_small_sf.py [sf_dir] [shuffle_partitions] [master]
+
+Also useful as a parallelism-determinism probe: ``... sf0.01 7
+local[4]`` re-checks every oracle under an odd partitioning/core count
+(271/0/0 on 2026-08-14, alongside sf0.001 x 32 and the standing sf0.01
+x 8 emulator — three regimes, identical hashes).
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 PARTS = sys.argv[2] if len(sys.argv) > 2 else "32"
+MASTER = sys.argv[3] if len(sys.argv) > 3 else "local[8]"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -39,7 +45,7 @@ def value_hash(pdf) -> str:
 
 def main() -> None:
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(MASTER)
         .config("spark.sql.shuffle.partitions", PARTS)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
