@@ -67,12 +67,13 @@ def _wait_for_quiet_host() -> dict:
 
     Polls ``os.getloadavg()[0]`` until it drops below the gate
     (default 2.0, ``$SPARK_GRAFT_LOAD_GATE``) or the max wait elapses
-    (default 600 s, ``$SPARK_GRAFT_LOAD_WAIT_MAX``); either way the
-    outcome is recorded in load_context so a contaminated run is
-    self-describing, not silent.
+    (default 240 s, ``$SPARK_GRAFT_LOAD_WAIT_MAX`` — bounded so a
+    driver-side timeout can never starve the round of its BENCH
+    artifact entirely); either way the outcome is recorded in
+    load_context so a contaminated run is self-describing, not silent.
     """
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "600"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "240"))
     waited = 0.0
     samples = [round(os.getloadavg()[0], 2)]
     while samples[-1] >= gate and waited < max_wait:
