@@ -22,16 +22,11 @@ ORACLES: dict[str, str] = {}
 #: importing the package stays cheap.
 #:
 #: ORDER MATTERS for external evidence: the driver's correctness run
-#: checks the first ~50 queries in registration order, so families whose
-#: queries have never had a driver-side correctness row register first,
-#: and the round-1-proven families (relational, etl) rotate to the back.
-#: Round-1 window covered: all of relational + the first 13 etl queries.
-#: Round-2 front-load (this order): vectors(10) text(11) events(6)
-#: scalar(10) udfs(4) io(6) = 47, then streaming j5/j6/j7 complete the
-#: window at 50. Still never driver-checked after round 2 — rotate these
-#: to the front next round: streaming j8, multimodal(3), pipelines(2),
-#: sql_api(7), relational c2_right_join, the etl tail (8), and the
-#: round-2 curation module (5).
+#: checks the first ~50 queries in registration order.  _PRIORITY
+#: (below) pins the front of that window each round — never-checked
+#: queries first, then re-checks of anything whose code or oracle
+#: changed; tools/coverage_audit.py reports the cumulative per-query
+#: driver-check state that drives the rotation.
 _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.vectors",
     "etl_data_pipeline_spark.plans.text",
