@@ -125,8 +125,14 @@ _PRIORITY = [
 #: Round-6 status: _PRIORITY holds exactly the 45 never-driver-checked
 #: queries plus 5 changed-in-round-6 slack slots = the full 50-query
 #: window.  After the r06 driver run, cumulative coverage is
-#: 270/270 registered queries (225 through r05 + the 45 above; the 5
-#: slack re-checks refresh stale rows, they don't add new names).
+#: 271/271 registered queries (225 through r05 + the 46 never-checked;
+#: the re-check slots refresh stale rows, they don't add new names).
+#:
+#: Round-7 rotation guidance: with the backlog at zero, point
+#: _PRIORITY at (1) anything changed in round 7, then (2) the oldest
+#: last-checked rows from COVERAGE_AUDIT.json (the r01/r02 cohort) so
+#: cumulative evidence keeps refreshing ~50 queries per round instead
+#: of going stale.
 
 _loaded = False
 
