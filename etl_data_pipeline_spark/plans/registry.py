@@ -47,20 +47,13 @@ _PLAN_MODULES = [
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run
-#: (~50 entries checked in registration order). Round-5 rotation:
-#: `dedup_survivorship` leads (the only registered query with no
-#: cumulative CORRECTNESS row — committed after the r04 run), followed
-#: by everything whose code or oracle CHANGED in round 5 (LSH bucket
-#: cap and its three consumers, de-hinted vocab joins, byte-based
-#: multimodal oracles, integer df-cap, bloom-join cache, the three
-#: rows-only -> exact error-bound reformulations) and the brand-new
-#: round-5 queries. Names not listed keep registration order after
-#: these. Unknown names are ignored (defensive: a renamed query must
-#: not break loading).
+#: (~50 entries checked in registration order). Names not listed keep
+#: registration order after these. Unknown names are ignored
+#: (defensive: a renamed query must not break loading).
 _PRIORITY = [
     # -- the 45 queries with NO driver CORRECTNESS row (registered
     # after the r05 window was pinned; VERDICT r5 item 1: drain this
-    # backlog so cumulative driver coverage returns to registry/registry.
+    # backlog so cumulative driver coverage returns to 271/271).
     # Registry growth is FROZEN this round except where a fix forces a
     # new query. ----------------------------------------------------
     "heavy_hitters_mg",
