@@ -489,6 +489,13 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join materializes fewer candidate pairs — the
     better exact verifier at scale (and the shingle of choice feeding
     MinHash in i4b).
+
+    The distinct shingle stream feeds THREE consumers (per-doc counts +
+    both self-join sides); Spark's executed plan showed 4 separate
+    corpus scans and 0 reused exchanges, so it is materialized once
+    (localCheckpoint — the multi-consumer-DAG persist pattern; the
+    deduped stream is strictly smaller than re-scanning the corpus per
+    consumer).
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "s", F.split("text", " ")
@@ -501,7 +508,7 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(slice(s, 1, size(s) - 1), (x, i) -> concat(x, ' ', s[i + 1]))"
             )
         ).alias("sh"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     cnt = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bg.select(
         "block", "sh", F.col("doc_id").alias("a")
