@@ -97,11 +97,17 @@ def jaccard_pairs(
     join fan-out at (max_df_frac * |block|)^2 instead of |block|^2.
     Jaccard is then over the filtered token sets on both engines.
     """
+    # The distinct stream feeds up to four consumers (block sizes, df
+    # counts, per-doc counts, both self-join sides); without a
+    # materialization point Spark re-scans the corpus for each
+    # (executed-plan audit: 12 scans, 0 reused exchanges).  The deduped
+    # stream is strictly smaller than the corpus, so computing it once
+    # is the 100 TB-correct trade.
     t = docs.select(
         "doc_id",
         F.col(block_col).alias("block"),
         F.explode(F.split("text", " ")).alias("token"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     if max_df_frac is not None:
         # Compare in INTEGERS on both engines: df * den <= num * n_docs.
         # A double product (max_df_frac * n_docs) can round across an
@@ -128,7 +134,7 @@ def jaccard_pairs(
         )
         t = t.join(keep, ["block", "token"])
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    t = t.join(counts, "doc_id")
+    t = t.join(counts, "doc_id").localCheckpoint()  # feeds both join sides
     a = t.select(
         F.col("block"),
         F.col("token"),
@@ -275,7 +281,7 @@ def lsh_candidate_pairs(
     generation stage of ``minhash_lsh_pairs``, exposed so quality
     audits (plans/text.py::minhash_est_quality) can inspect the
     UNVERIFIED candidate set."""
-    bands = minhash_bands(docs, num_hashes, band_size)
+    bands = minhash_bands(docs, num_hashes, band_size).localCheckpoint()
     if max_bucket_size is not None:
         # Count per (band, band_key) via window — same key as the join
         # below, so the extra pass rides the same hash partitioning.
@@ -314,7 +320,7 @@ def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
     inter = 0 so callers see the full candidate set."""
     t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    ).distinct().localCheckpoint()  # feeds counts + both pair sides
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta = t.select(F.col("doc_id").alias("a"), "token")
     tb = t.select(F.col("doc_id").alias("b_r"), F.col("token").alias("token_b"))

@@ -1002,10 +1002,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 1e-6 integer grid, so no doubles exist anywhere in the query.
     """
     d = load_table(spark, sf_dir, "documents")
+    # materialize the multi-consumer streams once (12-scan audit fix,
+    # same as operators/text.py::jaccard_pairs)
     t = d.select(
         "doc_id", F.col("lang").alias("block"),
         F.explode(F.split("text", " ")).alias("token"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     block_sizes = (
         t.select("block", "doc_id").distinct()
         .groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1018,7 +1020,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = t.join(keep, ["block", "token"])
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    t = t.join(counts, "doc_id")
+    t = t.join(counts, "doc_id").localCheckpoint()
     a = t.select(
         "block", "token", F.col("doc_id").alias("a"), F.col("n_tok").alias("na")
     )
