@@ -51,81 +51,74 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- the 45 queries with NO driver CORRECTNESS row (registered
-    # after the r05 window was pinned; VERDICT r5 item 1: drain this
-    # backlog so cumulative driver coverage returns to 271/271).
-    # Registry growth is FROZEN this round except where a fix forces a
-    # new query. ----------------------------------------------------
-    "heavy_hitters_mg",
-    "bloom_membership",
-    "bigram_lm_score",
-    "event_transition_matrix",
-    "skyline_price_size",
-    "benford_digit_audit",
-    "cusum_changepoint",
-    "sql_pipe_syntax",
-    "sql_parameterized",
-    "c8c_asof_nearest",
-    "interval_coverage",
-    "session_path_trigrams",
-    "weighted_median",
-    "e1d_cume_dist_nth",
-    "j13_stream_static_enrich",
-    "mm_audio_energy",
-    "neardup_link_predict",
-    "robust_zscore_mad",
-    "containment_pairs",
-    "table_diff",
-    "d5d_grouping_id",
-    "data_skew_report",
-    "pq_ann",
-    "pq_recall",
-    "token_entropy",
-    "k9_grouped_apply_in_arrow",
-    "sql_variables",
-    "sql_execute_immediate",
-    "j3b_dynamic_gap_session",
-    "sql_scripting",
-    "mm_image_histogram",
-    "b5c_try_arithmetic",
-    "h9_collation",
-    "dq_expectations",
-    "funnel_latency",
-    "sales_mart",
-    "ivm_incremental_agg",
-    "scd2_point_in_time_join",
-    "f2b_topk_with_ties",
-    "ann_multiprobe",
-    "ann_multiprobe_recall",
-    "lang_id_confusion",
-    "i8b_centroid_accuracy",
-    "bm25_topk",
-    "hybrid_rrf_search",
-    # -- slack (5): changed in round 6, need fresh driver evidence ---
-    # lsh_buckets moved to an integer-grid sign test (bucket contents
-    # changed -> ann_lsh/ann_recall; multiprobe pair is in the 45);
-    # unigram_lm_score lost its full-vocab broadcast hint; q1 was
-    # last driver-checked r1 and its money sums were rewritten r5
-    # (stale-check audit, VERDICT r5 item 4); containment_df_stats is
-    # the one fix-forced new query (item 6's divert-rate gate).
-    "containment_df_stats",
-    "ann_lsh",
-    "ann_recall",
-    "unigram_lm_score",
-    "q1_pricing_summary",
+    # -- round 7: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority (tools/coverage_audit.py, VERDICT r6
+    # item 2).  Ordering: queries whose EXECUTED code (profiler-traced
+    # at plan-construction, not just the wrapper) changed most recently
+    # first — the round-6 perf campaign's dedup/ANN/graph rewrites —
+    # then the oldest-evidence cohort (r1-checked queries whose shared
+    # load_table changed in r3).  114 queries are stale under the
+    # strict no-row-predates-code rule; the 64 that don't fit this
+    # 50-slot window are recorded in summary.stale_overflow_next_round
+    # and rotate in round 8.  Registry growth stays FROZEN. ----------
+    "i4c_ngram_jaccard",
+    "i8_centroid_classify",
+    "i6c_quantized_rerank",
+    "i4_jaccard_pairs",
+    "i4b_minhash_lsh",
+    "kcore_peel",
+    "lsh_bucket_stats",
+    "minhash_est_quality",
+    "mmr_diversified_topk",
+    "neardup_clusters",
+    "neardup_degree_hist",
+    "neardup_triangles",
+    "pagerank_neardup",
+    "d8_percentiles",
+    "distinct_agg",
+    "f1_multi_sort",
+    "g3b_dedup_subset_keepmin",
+    "stats_corr",
+    "pretrain_corpus",
+    "a15_file_lineage",
+    "a16_fixed_width",
+    "embedding_clip_stats",
+    "event_debounce",
+    "h1c_regexp_extract_all",
+    "j11_stream_update_counts",
+    "j5_stream_watermark",
+    "mm_decode_audio",
+    "mm_resize",
+    "pareto_abc",
+    "profile_table",
+    "trend_slope",
+    "h2b_datetime_funcs_more",
+    "j7_stateful_totals",
+    "c10_null_aware_anti",
+    "c4b_shuffle_hash_hint",
+    "chunk_overlap",
+    "e1c_ntile",
+    "rollup_reuse_daily_monthly",
+    "a1_parquet_scan",
+    "a5_nanos_ingest",
+    "b1_project_derive",
+    "b2_filter_predicates",
+    "b3_case_when",
+    "b4_null_handling",
+    "b5_casts",
+    "c1_inner_join",
+    "c2_full_outer_join",
+    "c2_left_join",
+    "c3_left_anti",
+    "c3_left_semi",
 ]
 
-#: Round-6 status: _PRIORITY holds exactly the 45 never-driver-checked
-#: queries plus 5 changed-in-round-6 slack slots = the full 50-query
-#: window.  After the r06 driver run, cumulative coverage is
-#: 271/271 registered queries (225 through r05 + the 46 never-checked;
-#: the re-check slots refresh stale rows, they don't add new names).
-#:
-#: Round-7 rotation guidance: with the backlog at zero, point
-#: _PRIORITY at (1) anything changed in round 7, then (2) the oldest
-#: last-checked rows from COVERAGE_AUDIT.json (the r01/r02 cohort) so
-#: cumulative evidence keeps refreshing ~50 queries per round instead
-#: of going stale.
+#: Round-7 status: cumulative driver coverage is 271/271 (r06 drained
+#: the never-checked backlog).  The window is now a pure staleness
+#: rotation, prescribed by ``python tools/coverage_audit.py --check``
+#: which fails when this list omits anything the audit says belongs in
+#: the window — update this list FROM summary.suggested_priority, do
+#: not hand-curate it.
 
 _loaded = False
 
