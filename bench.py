@@ -120,6 +120,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # Paired q1 denominator (VERDICT r6 item 4): q1's exact-integer-cents
+    # money sums cost ~1.39x a plain double-sum formulation — measured
+    # HERE, back-to-back in the SAME session, so the 2x-bound judgment
+    # carries its own noise-free denominator instead of comparing
+    # against a baseline measured in another session on another host
+    # state.  The plain formulation is the identical one BASELINE.md
+    # used (tools/measure_baseline.py::q1_plain).
+    q1_paired_ratio = None
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "measure_baseline", str(Path(_REPO_ROOT) / "tools" / "measure_baseline.py")
+        )
+        mb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mb)
+        plain_warm = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            mb.q1_plain(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                plain_warm = min(plain_warm, dt)
+        if plain_warm > 0:
+            q1_paired_ratio = round(timings["q1_pricing_summary"] / plain_warm, 3)
+    except Exception:  # the paired probe must never sink the artifact
+        pass
+
     # Scaling probe: re-run the set once at a 10x-smaller sf (when the
     # sibling dir exists) and record t_big/t_small per query. With 10x
     # the data, a linear operator stays well under ~10x (fixed overheads
@@ -169,6 +197,7 @@ def main() -> None:
     if scaling is not None:
         record["scaling"] = scaling
     record["load_context"] = {
+        "q1_paired_ratio": q1_paired_ratio,
         "load_gate": load_gate,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],

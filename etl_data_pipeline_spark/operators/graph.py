@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_data_pipeline_spark.materialize import cut_lineage
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
@@ -41,10 +42,10 @@ def connected_components_star(
     driver-side data.  Convergence is detected by a (count, xxhash64
     XOR) signature of the edge set — two scalars to the driver per
     round, same discipline as the kmeans loop; each round is
-    ``localCheckpoint``ed so lineage stays flat.
+    lineage-cut (reliable checkpoint when a dir is set) so lineage stays flat.
     """
     e = edges.select("u", "v").filter(F.col("u") != F.col("v"))
-    e = _symmetrize(e).localCheckpoint(eager=True)
+    e = cut_lineage(_symmetrize(e))
     prev_sig: tuple[int, int] | None = None
     rounds = 0
     star = e
@@ -71,7 +72,7 @@ def connected_components_star(
             mins2.select("u", F.col("m").alias("v"))
             .unionByName(rest)
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         # (count, XOR of per-edge hashes): order-independent, no overflow
         # under ANSI mode (a SUM of hashes would overflow long)
@@ -83,7 +84,7 @@ def connected_components_star(
         if sig == prev_sig:
             break
         prev_sig = sig
-        e = _symmetrize(star).localCheckpoint(eager=True)
+        e = cut_lineage(_symmetrize(star))
     # at the fixed point the edge set is a star forest: every non-min
     # node has exactly one out-edge to its component min
     assignments = star.groupBy("u").agg(F.min("v").alias("component"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from etl_data_pipeline_spark.materialize import materialize
 
 #: modulus for affine MinHash permutations; prime, small enough that
 #: a_i * h stays far below int64 overflow.
@@ -107,7 +108,8 @@ def jaccard_pairs(
         "doc_id",
         F.col(block_col).alias("block"),
         F.explode(F.split("text", " ")).alias("token"),
-    ).distinct().localCheckpoint()
+    ).distinct()
+    t = materialize(t)
     if max_df_frac is not None:
         # Compare in INTEGERS on both engines: df * den <= num * n_docs.
         # A double product (max_df_frac * n_docs) can round across an
@@ -134,7 +136,7 @@ def jaccard_pairs(
         )
         t = t.join(keep, ["block", "token"])
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    t = t.join(counts, "doc_id").localCheckpoint()  # feeds both join sides
+    t = materialize(t.join(counts, "doc_id"))  # feeds both join sides
     a = t.select(
         F.col("block"),
         F.col("token"),
@@ -281,7 +283,7 @@ def lsh_candidate_pairs(
     generation stage of ``minhash_lsh_pairs``, exposed so quality
     audits (plans/text.py::minhash_est_quality) can inspect the
     UNVERIFIED candidate set."""
-    bands = minhash_bands(docs, num_hashes, band_size).localCheckpoint()
+    bands = materialize(minhash_bands(docs, num_hashes, band_size))
     if max_bucket_size is not None:
         # Count per (band, band_key) via window — same key as the join
         # below, so the extra pass rides the same hash partitioning.
@@ -320,7 +322,8 @@ def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
     inter = 0 so callers see the full candidate set."""
     t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct().localCheckpoint()  # feeds counts + both pair sides
+    ).distinct()
+    t = materialize(t)  # feeds counts + both pair sides
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta = t.select(F.col("doc_id").alias("a"), "token")
     tb = t.select(F.col("doc_id").alias("b_r"), F.col("token").alias("token_b"))
@@ -484,7 +487,7 @@ def neardup_components(
     and silently truncated adversarial chains longer than ``max_iters``),
     the star alternation contracts path lengths geometrically: O(log
     diameter) rounds of the same join/groupBy primitives, each round two
-    scalars to the driver and a flat ``localCheckpoint``ed lineage.
+    scalars to the driver and a flat, lineage-cut iteration loop.
 
     Returns one row per document: (doc_id, component, is_canonical) where
     ``component`` is the min doc_id of the near-dup cluster (singletons

@@ -23,6 +23,7 @@ from etl_data_pipeline_spark.operators.similarity import quantized_rerank
 from etl_data_pipeline_spark.operators.text import neardup_components
 from etl_data_pipeline_spark.plans.registry import query
 from etl_data_pipeline_spark.plans.text import MINHASH_LSH_BODY
+from etl_data_pipeline_spark.materialize import materialize, cut_lineage
 
 
 @query(
@@ -939,7 +940,7 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per iteration one join (edges x ranks, both partitioned by u)
     + one shuffle on v; degrees and ranks are (node_id, long) pairs;
-    edges/deg/ranks are localCheckpointed so each iteration's lineage is
+    edges/deg are persisted and ranks lineage-cut so each iteration's lineage is
     flat (without it, pass k re-executes passes 1..k-1 — measured 35 s
     vs ~LSH-cost at sf0.1). The driver holds only N (a scalar,
     kmeans-loop precedent). Graph DENSITY is data-driven: this corpus is
@@ -957,9 +958,9 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    edges = edges.localCheckpoint()  # pairs are reused 3x; cut the LSH lineage
+    edges = materialize(edges)  # pairs are reused 3x per iteration
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    deg = deg.localCheckpoint()
+    deg = materialize(deg)
     n = deg.count()
     import math
 
@@ -984,7 +985,7 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every earlier pass (lineage doubles per iteration — measured
         # 35 s at sf0.1; flat lineage brings it to one LSH + 3 join/agg
         # rounds). Same discipline as neardup_clusters' propagation loop.
-        g = g.localCheckpoint()
+        g = cut_lineage(g)
     return g.select(
         F.col("u").alias("doc_id"),
         F.round(F.col("g") / F.lit(1_000_000_000_000.0), 6).alias("pagerank"),
@@ -1114,7 +1115,7 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
         .select("a", "b")
-        .localCheckpoint()  # reused by three join legs + degree agg
+        .transform(materialize)  # reused by three join legs + degree agg
     )
     e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = pairs.join(e2, "b")
@@ -1176,7 +1177,7 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one groupBy(count) + two node-list equi-joins, all
     keyed by node id — the same primitives as connected components, so
     a full fixpoint at 100 TB is this loop driven to stability
-    (localCheckpoint per round, scalar convergence check, the
+    (cut_lineage per round, scalar convergence check, the
     kmeans/CC discipline). The 3-round unroll keeps the oracle a chain
     of CTEs; ``converged`` reports whether round 3 changed nothing, so
     a non-fixpoint result is visible, not silent.
@@ -1185,10 +1186,9 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.operators.text import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
-    e = (
+    e = cut_lineage(
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
     )
     counts = []
     deg = None
@@ -1196,10 +1196,9 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         nodes = deg.filter(F.col("d") >= 3).select("u")
         counts.append(nodes)
-        e = (
+        e = cut_lineage(
             e.join(nodes, "u")
             .join(nodes.select(F.col("u").alias("v")), "v")
-            .localCheckpoint()
         )
     n2_count = counts[1].agg(F.count(F.lit(1)).alias("c2"))
     n3 = counts[2]
@@ -1404,7 +1403,7 @@ def neardup_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         minhash_lsh_pairs(d, threshold=0.5, num_hashes=16, band_size=4)
         .select("a", "b")
-        .localCheckpoint()  # reused by adjacency, anti-join and degrees
+        .transform(materialize)  # reused by adjacency, anti-join and degrees
     )
     e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))

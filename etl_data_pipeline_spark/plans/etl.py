@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from etl_data_pipeline_spark.catalog import load_table
 from etl_data_pipeline_spark.functions.canonical import dec_sum
 from etl_data_pipeline_spark.plans.registry import query
+from etl_data_pipeline_spark.materialize import materialize
 
 
 # --------------------------------------------------------------------------
@@ -493,7 +494,7 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distinct shingle stream feeds THREE consumers (per-doc counts +
     both self-join sides); Spark's executed plan showed 4 separate
     corpus scans and 0 reused exchanges, so it is materialized once
-    (localCheckpoint — the multi-consumer-DAG persist pattern; the
+    (materialize() — the multi-consumer-DAG persist pattern; the
     deduped stream is strictly smaller than re-scanning the corpus per
     consumer).
     """
@@ -508,7 +509,7 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(slice(s, 1, size(s) - 1), (x, i) -> concat(x, ' ', s[i + 1]))"
             )
         ).alias("sh"),
-    ).distinct().localCheckpoint()
+    ).distinct().transform(materialize)
     cnt = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bg.select(
         "block", "sh", F.col("doc_id").alias("a")

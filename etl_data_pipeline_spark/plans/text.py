@@ -30,6 +30,7 @@ from etl_data_pipeline_spark.operators.text import (
     tokens,
 )
 from etl_data_pipeline_spark.plans.registry import query
+from etl_data_pipeline_spark.materialize import materialize
 
 #: shared oracle CTE: one row per (doc_id, token) occurrence, in order
 _TOKENS_CTE = """
@@ -1007,7 +1008,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", F.col("lang").alias("block"),
         F.explode(F.split("text", " ")).alias("token"),
-    ).distinct().localCheckpoint()
+    ).distinct().transform(materialize)
     block_sizes = (
         t.select("block", "doc_id").distinct()
         .groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1020,7 +1021,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = t.join(keep, ["block", "token"])
     counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    t = t.join(counts, "doc_id").localCheckpoint()
+    t = materialize(t.join(counts, "doc_id"))
     a = t.select(
         "block", "token", F.col("doc_id").alias("a"), F.col("n_tok").alias("na")
     )

@@ -690,40 +690,23 @@ def test_sales_mart_broadcasts_dims_and_pushes_status_filter(spark):
     assert any("o_orderstatus" in line for line in pushed), pushed
 
 
-def test_round6_priority_is_backlog_plus_slack():
-    """Round-6 rotation invariant (VERDICT r5 item 1): _PRIORITY is
-    exactly the 45 queries with no cumulative driver CORRECTNESS row
-    (r01-r05) followed by the 5 changed-in-round-6 slack re-checks — the
-    full 50-slot window, every name registered with an oracle, and the
-    registry's iteration order puts the window first."""
+def test_priority_matches_audit_prescription():
+    """Rotation invariant (VERDICT r6 item 2): _PRIORITY is set
+    MECHANICALLY from the committed COVERAGE_AUDIT.json's
+    summary.suggested_priority (tools/coverage_audit.py), every name is
+    registered with an oracle, and the registry's iteration order puts
+    the window first so the driver's ~50-slot correctness run checks
+    exactly the audit's prescription."""
+    import json
+    from pathlib import Path
+
+    from etl_data_pipeline_spark.plans import ORACLES
     from etl_data_pipeline_spark.plans.registry import _PRIORITY
 
-    carryover = [
-        "heavy_hitters_mg", "bloom_membership", "bigram_lm_score",
-        "event_transition_matrix", "skyline_price_size",
-        "benford_digit_audit", "cusum_changepoint", "sql_pipe_syntax",
-        "sql_parameterized", "c8c_asof_nearest", "interval_coverage",
-        "session_path_trigrams", "weighted_median", "e1d_cume_dist_nth",
-        "j13_stream_static_enrich", "mm_audio_energy",
-        "neardup_link_predict", "robust_zscore_mad", "containment_pairs",
-        "table_diff", "d5d_grouping_id", "data_skew_report", "pq_ann",
-        "pq_recall", "token_entropy", "k9_grouped_apply_in_arrow",
-        "sql_variables", "sql_execute_immediate",
-        "j3b_dynamic_gap_session", "sql_scripting", "mm_image_histogram",
-        "b5c_try_arithmetic", "h9_collation", "dq_expectations",
-        "funnel_latency", "sales_mart", "ivm_incremental_agg",
-        "scd2_point_in_time_join", "f2b_topk_with_ties", "ann_multiprobe",
-        "ann_multiprobe_recall", "lang_id_confusion",
-        "i8b_centroid_accuracy", "bm25_topk", "hybrid_rrf_search",
-    ]
-    slack = [
-        "containment_df_stats", "ann_lsh", "ann_recall",
-        "unigram_lm_score", "q1_pricing_summary",
-    ]
-    assert len(carryover) == 45
-    assert _PRIORITY == carryover + slack
-    from etl_data_pipeline_spark.plans import ORACLES
-
+    audit = json.load(
+        open(Path(__file__).resolve().parent.parent / "COVERAGE_AUDIT.json")
+    )
+    assert _PRIORITY == audit["summary"]["suggested_priority"]
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, missing
     no_oracle = [n for n in _PRIORITY if n not in ORACLES]
