@@ -88,6 +88,24 @@ def dec_avg(col: Column, scale: int) -> Column:
 _HILO = 1_000_000
 
 
+def cents_grid(col: Column, scale: int) -> Column:
+    """Recover the BIGINT grid value of a non-negative decimal(scale)-
+    grid double: ``FLOOR(x * 10^s + 0.5)``.
+
+    Why not ``ROUND``: Spark evaluates ROUND on DoubleType through
+    ``BigDecimal.setScale(HALF_UP)`` — a per-row BigDecimal allocation,
+    exactly the cost this module exists to avoid (measured 2026-08-14,
+    sf0.1 warm single-sum agg: 0.32 s ROUND vs 0.25 s FLOOR, identical
+    totals).  FLOOR stays in primitive codegen and returns LONG
+    directly.  Identical to round-half-up here because the IEEE product
+    of a grid double and 10^s lands within ~1e-9 of the true integer —
+    never at an exact .5 boundary — and inputs are non-negative.
+    Oracle counterpart unchanged: CAST(x AS DECIMAL(38,s)) recovers the
+    same integer grid value.
+    """
+    return F.floor(col * (10 ** scale) + F.lit(0.5))
+
+
 def cents_sum(col: Column, scale: int) -> Column:
     """Exact SUM of a non-negative decimal(scale)-grid double via a
     single BIGINT accumulation, returned as double.
@@ -98,7 +116,7 @@ def cents_sum(col: Column, scale: int) -> Column:
     columns; use cents_sum_wide beyond it (its docstring has the
     envelope arithmetic).
     """
-    return F.sum(F.round(col * (10 ** scale)).cast("long")) / float(10 ** scale)
+    return F.sum(cents_grid(col, scale)) / float(10 ** scale)
 
 
 def cents_sum_wide(col: Column, scale: int) -> tuple[Column, Column]:
@@ -110,7 +128,7 @@ def cents_sum_wide(col: Column, scale: int) -> tuple[Column, Column]:
     with zero per-row decimal work. Recombine the two aggregate columns
     with cents_recombine (decimal math over the handful of output rows
     only)."""
-    v = F.round(col * (10 ** scale)).cast("long")
+    v = cents_grid(col, scale)
     return (
         F.sum((v / _HILO).cast("long")),
         F.sum(v % _HILO),
