@@ -122,11 +122,14 @@ def main() -> None:
 
     # Paired q1 denominator (VERDICT r6 item 4): q1's exact-integer-cents
     # money sums cost ~1.39x a plain double-sum formulation — measured
-    # HERE, back-to-back in the SAME session, so the 2x-bound judgment
-    # carries its own noise-free denominator instead of comparing
-    # against a baseline measured in another session on another host
-    # state.  The plain formulation is the identical one BASELINE.md
-    # used (tools/measure_baseline.py::q1_plain).
+    # HERE, INTERLEAVED in the SAME session (plain/engine alternating,
+    # ratio of mins), so the 2x-bound judgment carries its own
+    # noise-free denominator.  Interleaving matters: the engine q1 in
+    # `timings` above ran FIRST in the session (cold JIT/IO) — pairing
+    # it against a plain run at session end measured 3.1x where the
+    # true warm-vs-warm ratio is ~1.4x.  The plain formulation is the
+    # identical one BASELINE.md used (tools/measure_baseline.py::
+    # q1_plain).
     q1_paired_ratio = None
     try:
         import importlib.util
@@ -136,15 +139,20 @@ def main() -> None:
         )
         mb = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mb)
-        plain_warm = float("inf")
-        for i in range(3):
+        engine_q1 = QUERIES["q1_pricing_summary"]
+        plain_min = engine_min = float("inf")
+        for i in range(4):  # alternate plain/engine; drop round 0 (warmup)
             t0 = time.perf_counter()
             mb.q1_plain(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
+            dt_p = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            engine_q1(spark, sf_dir).collect()
+            dt_e = time.perf_counter() - t0
             if i > 0:
-                plain_warm = min(plain_warm, dt)
-        if plain_warm > 0:
-            q1_paired_ratio = round(timings["q1_pricing_summary"] / plain_warm, 3)
+                plain_min = min(plain_min, dt_p)
+                engine_min = min(engine_min, dt_e)
+        if plain_min > 0:
+            q1_paired_ratio = round(engine_min / plain_min, 3)
     except Exception:  # the paired probe must never sink the artifact
         pass
 
