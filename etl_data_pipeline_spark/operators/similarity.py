@@ -686,9 +686,13 @@ def mmr_candidates(
     norms = dims.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("n2")
     )
-    qv = qe.filter(F.col("vec_id") == query_id).select("embedding").collect()[
-        0
-    ]["embedding"]
+    qrows = qe.filter(F.col("vec_id") == query_id).select("embedding").collect()
+    if not qrows:
+        raise ValueError(
+            f"mmr query_id {query_id} not found in embeddings (ADVICE r6: "
+            "an absent id used to raise a bare IndexError)"
+        )
+    qv = qrows[0]["embedding"]
     qn2 = float(sum(x * x for x in qv))
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     dot = F.aggregate(
@@ -821,7 +825,16 @@ def mmr_diversified(
     )
 
 
-def pq_codes(qe: DataFrame, n_codes: int = 16) -> tuple:
+#: Shared PQ geometry (ADVICE r6: pq_rerank's numpy fast path used to
+#: hardcode 16x16x4 independently of pq_codes — one source of truth now,
+#: asserted at the seed collect).  64-d vectors split into PQ_SUBSPACES
+#: subvectors of PQ_SUBDIM dims; PQ_N_CODES codes per subspace.
+PQ_SUBSPACES = 16
+PQ_SUBDIM = 4
+PQ_N_CODES = 16
+
+
+def pq_codes(qe: DataFrame, n_codes: int = PQ_N_CODES) -> tuple:
     """Product quantization over int8-quantized vectors: split each
     64-d vector into 16 subvectors of 4 dims; the per-subspace codebook
     is the subvectors of the ``n_codes`` SMALLEST OBSERVED vec_ids (a
@@ -844,8 +857,8 @@ def pq_codes(qe: DataFrame, n_codes: int = 16) -> tuple:
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     ).select(
         "vec_id",
-        F.expr("pos div 4").alias("sub"),
-        (F.col("pos") % 4).alias("d"),
+        F.expr(f"pos div {PQ_SUBDIM}").alias("sub"),
+        (F.col("pos") % PQ_SUBDIM).alias("d"),
         "v",
     )
     from pyspark.sql.window import Window
@@ -891,7 +904,7 @@ def pq_decode(codebook: DataFrame, codes: DataFrame) -> DataFrame:
     Integer-valued doubles throughout, so downstream dot products stay
     exactly cross-engine reproducible like the int8 path."""
     dec = codes.join(F.broadcast(codebook), ["sub", "code"]).select(
-        "vec_id", (F.col("sub") * 4 + F.col("d")).alias("pos"), "c"
+        "vec_id", (F.col("sub") * PQ_SUBDIM + F.col("d")).alias("pos"), "c"
     )
     return dec.groupBy("vec_id").agg(
         F.transform(
@@ -931,12 +944,23 @@ def pq_rerank(
 
     qe = quantize_embeddings(embeddings)
     seed_rows = (
-        qe.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+        qe.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_N_CODES)
+        .collect()
     )
+    if len(seed_rows) != PQ_N_CODES:
+        raise ValueError(
+            f"PQ seed codebook needs {PQ_N_CODES} vectors, got "
+            f"{len(seed_rows)} — corpus smaller than the codebook"
+        )
     cb_arr = np.array(
         [
-            [[float(r["embedding"][4 * s + d]) for d in range(4)] for r in seed_rows]
-            for s in range(16)
+            [
+                [float(r["embedding"][PQ_SUBDIM * s + d]) for d in range(PQ_SUBDIM)]
+                for r in seed_rows
+            ]
+            for s in range(PQ_SUBSPACES)
         ]
     )
 
@@ -947,15 +971,15 @@ def pq_rerank(
             X = (
                 np.stack(pdf["embedding"].to_numpy())
                 .astype("float64")
-                .reshape(len(pdf), 16, 4)
+                .reshape(len(pdf), PQ_SUBSPACES, PQ_SUBDIM)
             )
             dist = ((X[:, :, None, :] - cb_arr[None, :, :, :]) ** 2).sum(-1)
             code = dist.argmin(axis=2)
-            dec = cb_arr[np.arange(16)[None, :], code]
+            dec = cb_arr[np.arange(PQ_SUBSPACES)[None, :], code]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "embedding": list(dec.reshape(len(pdf), 64)),
+                    "embedding": list(dec.reshape(len(pdf), PQ_SUBSPACES * PQ_SUBDIM)),
                 }
             )
 

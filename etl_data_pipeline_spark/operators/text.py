@@ -225,6 +225,12 @@ def minhash_bands(
     columns, ascending i — the same order the former
     array_sort(collect_list) produced), skipping the second
     groupBy(doc_id, band) entirely."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size {band_size} must divide num_hashes {num_hashes}: "
+            "a trailing partial band would silently change bucket keys "
+            "(ADVICE r6)"
+        )
     wide = _minhash_wide(docs, num_hashes)
     n_bands = num_hashes // band_size
     return wide.select(
