@@ -1,8 +1,16 @@
 """Time every registered query at a given sf dir (default sf0.1), one
 warm session, one run each; print JSON sorted slowest-first.  Finds
 hidden quadratics / pathological plans among queries the headline bench
-does not cover."""
+does not cover.
+
+``i6b_cosine_topk_hof`` — the DELIBERATELY-naive per-pair comparator
+kept as the measured cost model the blocked kernel is judged against —
+is ~17 s of the sweep and proves nothing new per run, so it is skipped
+unless ``SPARK_GRAFT_SWEEP_ALL=1`` (VERDICT r6 item 7; it stays
+registered and driver-checkable either way).
+"""
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -21,7 +29,14 @@ spark.sparkContext.setLogLevel("ERROR")
 
 times = {}
 fails = {}
+SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
+skipped = sorted(
+    SKIP_UNLESS_ALL & set(QUERIES)
+) if not os.environ.get("SPARK_GRAFT_SWEEP_ALL") else []
+
 for name, fn in QUERIES.items():
+    if name in skipped:
+        continue
     t0 = time.monotonic()
     try:
         df = fn(spark, SF)
@@ -34,6 +49,7 @@ print(json.dumps({
     "sf": SF,
     "total_sec": round(sum(v[0] for v in times.values()), 1),
     "n_queries": len(times),
+    "skipped": skipped,
     "fails": fails,
     "slowest_30": [
         {"name": k, "sec": v[0], "rows": v[1]} for k, v in ranked[:30]
