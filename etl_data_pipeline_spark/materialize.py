@@ -12,11 +12,17 @@ a real cluster the loss of an executor (preemption, spot reclaim)
 triggers recompute of the lost blocks instead of failing the job.  The
 prior mechanism, ``localCheckpoint()``, stores blocks non-replicated on
 executor-local storage with lineage truncated — unrecoverable at scale.
-Measured head-to-head at sf0.1 on local[32] (2026-08-14, warm, the five
-hot dedup queries i4/i4b/i4c/neardup_clusters/pagerank): persist 20.7 s
-total vs localCheckpoint 20.4 s — a wash overall, individual queries
-±35% in both directions — so the cluster-safe default costs nothing.
-localCheckpoint remains an explicit opt-in:
+Measured at sf0.1 on local[32] (2026-08-14): WARM the two mechanisms
+are a wash (20.7 s persist vs 20.4 s localCheckpoint over the five hot
+dedup queries — Spark's CacheManager matches the re-built plan and
+serves the first run's cache).  COLD (fresh cache, interleaved A/B on
+minhash_lsh_pairs) persist costs ~1.2-1.6x: the one action computes
+consumers against a not-yet-materialized InMemoryRelation (estimated
+stats, columnar-batch scan) where eager localCheckpoint hands
+downstream planning a materialized RDD of known size.  The delta is
+confined to the dedup/graph family (no headline bench query uses these
+sites) and is the price of surviving executor loss at 100 TB; the
+local fast path remains an explicit opt-in:
 ``SPARK_GRAFT_MATERIALIZE=local_checkpoint``.
 
 ``cut_lineage(df)`` — an iterative-loop truncation point: the graph

@@ -958,9 +958,9 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    edges = materialize(edges)  # pairs are reused 3x per iteration
+    edges = cut_lineage(edges)  # loop input: reused every iteration
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    deg = materialize(deg)
+    deg = cut_lineage(deg)
     n = deg.count()
     import math
 
