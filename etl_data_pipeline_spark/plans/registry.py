@@ -54,16 +54,15 @@ _PRIORITY = [
     # -- round 7: set MECHANICALLY from COVERAGE_AUDIT.json
     # summary.suggested_priority (tools/coverage_audit.py, VERDICT r6
     # item 2).  Ordering: queries whose EXECUTED code (profiler-traced
-    # at plan-construction, not just the wrapper) changed most recently
-    # first — the round-6 perf campaign's dedup/ANN/graph rewrites —
-    # then the oldest-evidence cohort (r1-checked queries whose shared
-    # load_table changed in r3).  114 queries are stale under the
-    # strict no-row-predates-code rule; the 64 that don't fit this
-    # 50-slot window are recorded in summary.stale_overflow_next_round
-    # and rotate in round 8.  Registry growth stays FROZEN. ----------
+    # at plan construction + one-hop referenced executor kernels)
+    # changed most recently first — the round-7 edits (cents_grid/q1,
+    # PQ geometry, materialize sites) and the round-6 dedup/ANN/graph
+    # rewrites — then the oldest-evidence cohort.  119 queries are
+    # stale under the strict no-row-predates-code rule; the 69 that
+    # don't fit this 50-slot window are in
+    # summary.stale_overflow_next_round and rotate in round 8.
+    # Registry growth stays FROZEN. ----------------------------------
     "i4c_ngram_jaccard",
-    "i8_centroid_classify",
-    "i6c_quantized_rerank",
     "i4_jaccard_pairs",
     "i4b_minhash_lsh",
     "kcore_peel",
@@ -74,6 +73,13 @@ _PRIORITY = [
     "neardup_degree_hist",
     "neardup_triangles",
     "pagerank_neardup",
+    "containment_pairs",
+    "neardup_link_predict",
+    "pq_ann",
+    "pq_recall",
+    "q1_pricing_summary",
+    "i8_centroid_classify",
+    "i6c_quantized_rerank",
     "d8_percentiles",
     "distinct_agg",
     "f1_multi_sort",
@@ -106,11 +112,6 @@ _PRIORITY = [
     "b3_case_when",
     "b4_null_handling",
     "b5_casts",
-    "c1_inner_join",
-    "c2_full_outer_join",
-    "c2_left_join",
-    "c3_left_anti",
-    "c3_left_semi",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -23,10 +23,14 @@ JSON.
 Round boundaries are discovered from git log ("round N: verdict..."
 commits written by the driver), so no manual table needs updating.
 
-Known blind spot (documented, narrow): module-level kernels invoked
-ONLY inside executor-side pandas UDFs are never called on the driver,
-so the profiler can't see them; kernels defined or referenced inside a
-traced function are covered by that function's ``-L`` range.
+Executor-side kernels: a module-level function invoked ONLY inside an
+executor-side pandas UDF never runs on the driver, so the profiler
+alone can't see it.  The trace therefore also resolves, for every
+traced function, the module-level functions its code object REFERENCES
+(``co_names`` against the defining module's globals, one hop) — which
+is how such kernels are passed to ``applyInPandas``/``mapInPandas`` —
+and audits those too.  Kernels defined inside a traced function are
+already covered by the enclosing ``-L`` range.
 
 Writes COVERAGE_AUDIT.json at the repo root and prints a summary.
 """
@@ -90,16 +94,45 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
     spark.sparkContext.setLogLevel("ERROR")
     hits: set[tuple[str, str]] = set()
 
+    raw: set = set()  # code objects, resolved to pairs after the loop
+
     def prof(frame, event, arg):
         if event == "call":
             co = frame.f_code
-            fname = co.co_filename
-            if fname.startswith(_PKG) and not co.co_name.startswith("<"):
-                hits.add((os.path.relpath(fname, _REPO), co.co_name))
+            if co.co_filename.startswith(_PKG) and not co.co_name.startswith("<"):
+                raw.add(co)
+
+    def _pair(co) -> tuple[str, str]:
+        return (os.path.relpath(co.co_filename, _REPO), co.co_name)
+
+    def _referenced_kernels(cos) -> set[tuple[str, str]]:
+        """Module-level engine functions REFERENCED by the traced code
+        objects (one hop through the defining module's globals) — the
+        executor-side-kernel closure (see module docstring)."""
+        import inspect
+
+        out: set[tuple[str, str]] = set()
+        for co in cos:
+            mod = next(
+                (m for m in list(sys.modules.values())
+                 if getattr(m, "__file__", None) == co.co_filename),
+                None,
+            )
+            if mod is None:
+                continue
+            for ref in co.co_names:
+                obj = getattr(mod, ref, None)
+                if (
+                    inspect.isfunction(obj)
+                    and getattr(obj.__code__, "co_filename", "").startswith(_PKG)
+                    and not obj.__name__.startswith("<")
+                ):
+                    out.add(_pair(obj.__code__))
+        return out
 
     traced: dict[str, set[tuple[str, str]]] = {}
     for name, fn in QUERIES.items():
-        hits.clear()
+        raw.clear()
         sys.setprofile(prof)
         try:
             fn(spark, sf_dir)
@@ -109,7 +142,7 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
             raise
         finally:
             sys.setprofile(None)
-        traced[name] = set(hits)
+        traced[name] = {_pair(co) for co in raw} | _referenced_kernels(raw)
     spark.stop()
     return traced
 
