@@ -72,3 +72,43 @@ def test_cut_lineage_uses_reliable_checkpoint_when_dir_set(
             sc._jvm.scala.Option.apply(None)
         )
     assert sc.getCheckpointDir() is None
+
+
+def test_checkpoint_dir_env_hook(spark, tmp_path, monkeypatch):
+    """$SPARK_GRAFT_CHECKPOINT_DIR wires reliable checkpointing into an
+    engine session (the deployment hook cut_lineage's cluster path
+    depends on)."""
+    from etl_data_pipeline_spark.session import _apply_checkpoint_dir
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    _apply_checkpoint_dir(spark)
+    try:
+        assert (tmp_path / "ck").as_posix() in sc.getCheckpointDir()
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
+def test_graph_query_parity_under_reliable_checkpoint(spark, tmp_path):
+    """The iterative dedup-graph query returns IDENTICAL rows when
+    cut_lineage takes the reliable-checkpoint path (cluster posture)
+    as when it falls back to localCheckpoint (local posture)."""
+    from etl_data_pipeline_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["neardup_clusters"]
+    base = sorted(map(tuple, fn(spark, sf).collect()))
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        ckpt = sorted(map(tuple, fn(spark, sf).collect()))
+        assert list((tmp_path / "ck").rglob("*")), "reliable path not taken"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert ckpt == base
