@@ -13,9 +13,10 @@ Comparability note vs BASELINE.md: the engine's formulations carry
 oracle-parity costs the baseline's plain formulations skip — q1's money
 aggregates run as exact integer-cent sums with a hi/lo long split
 (functions/canonical.py — deterministic cross-engine at codegen speed;
-same-session measurement 2026-08-14 at sf0.1: the wide-split aggregate
-is 1.39x a plain double-sum aggregate and 2.3x FASTER than the
-DECIMAL(38,s) path, full q1 ~2x the plain query), distinct_agg
+interleaved same-session A/B 2026-08-14 at sf0.1 after the cents_grid
+FLOOR(+0.5) fix: full q1 1.26x the plain double-sum query, stamped
+per-run into load_context.q1_paired_ratio; the DECIMAL(38,s) path is
+2.3x slower than the wide split), distinct_agg
 computes THREE exact distincts (baseline: one
 exact + one approx), window_rank evaluates four ranking functions
 (baseline: row_number only).  cosine_topk is the numpy mapInPandas kernel
@@ -121,7 +122,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     # Paired q1 denominator (VERDICT r6 item 4): q1's exact-integer-cents
-    # money sums cost ~1.39x a plain double-sum formulation — measured
+    # money sums cost ~1.26x a plain double-sum formulation — measured
     # HERE, INTERLEAVED in the SAME session (plain/engine alternating,
     # ratio of mins), so the 2x-bound judgment carries its own
     # noise-free denominator.  Interleaving matters: the engine q1 in

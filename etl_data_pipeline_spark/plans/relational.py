@@ -245,11 +245,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions.
 
     Money sums are exact but stay in primitive-long codegen (cents_sum /
-    cents_sum_wide in functions/canonical.py) instead of per-row
-    DECIMAL(38,s) conversion — same integer totals; same-session
-    measurement at sf0.1 (2026-08-14): wide-split agg 0.68s vs DECIMAL
-    1.56s (2.3x faster) vs plain unsound double sums 0.49s (the exact
-    path costs 1.39x plain — the price of cross-engine determinism).
+    cents_sum_wide in functions/canonical.py, grid recovery via
+    cents_grid's FLOOR(+0.5) — Spark's ROUND(double) allocates a
+    BigDecimal per row) instead of per-row DECIMAL(38,s) conversion —
+    same integer totals; interleaved same-session A/B at sf0.1
+    (2026-08-14, post-cents_grid): engine q1 0.46 s vs plain unsound
+    double sums 0.37 s = 1.26x, the residual price of cross-engine
+    determinism (DECIMAL path: 2.3x slower than the wide split).
+    bench.py re-measures this pairing every run and stamps it into
+    load_context.q1_paired_ratio.
     The 4dp/6dp columns use the hi/lo split, whose component sums hold
     to ~9e12 rows per group (q1's groups are whole table / 6, so the
     envelope is the binding one).

@@ -1,6 +1,6 @@
 """Targeted driver-emulator: check named queries vs oracles at sf0.01.
 
-Usage: python .scratch/check_queries.py name1 name2 ...
+Usage: python tools/check_queries.py name1 name2 ...
 """
 import hashlib
 import sys
