@@ -16,13 +16,15 @@ Measured at sf0.1 on local[32] (2026-08-14): WARM the two mechanisms
 are a wash (20.7 s persist vs 20.4 s localCheckpoint over the five hot
 dedup queries — Spark's CacheManager matches the re-built plan and
 serves the first run's cache).  COLD (fresh cache, interleaved A/B on
-minhash_lsh_pairs) persist costs ~1.2-1.6x: the one action computes
-consumers against a not-yet-materialized InMemoryRelation (estimated
-stats, columnar-batch scan) where eager localCheckpoint hands
-downstream planning a materialized RDD of known size.  The delta is
-confined to the dedup/graph family (no headline bench query uses these
-sites) and is the price of surviving executor loss at 100 TB; the
-local fast path remains an explicit opt-in:
+minhash_lsh_pairs) persist initially cost ~1.2-1.6x — the one action
+computed consumers against a not-yet-materialized InMemoryRelation
+(estimate-based plans, columnar-batch scans) where eager
+localCheckpoint hands downstream planning a materialized RDD of known
+size.  Letting AQE re-plan through cached subtrees
+(``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true``,
+now in session.RUNTIME_CONFS) closes that gap: min-of-3 interleaved
+cold runs 3.79 s persist vs 4.06 s localCheckpoint.  The local fast
+path remains an explicit opt-in:
 ``SPARK_GRAFT_MATERIALIZE=local_checkpoint``.
 
 ``cut_lineage(df)`` — an iterative-loop truncation point: the graph

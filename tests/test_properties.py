@@ -340,3 +340,59 @@ def test_ewma_fir_matches_direct_convolution(spark, series):
         exp_num = sum(v * wt for v, wt in taps)
         exp_den = sum(wt for _, wt in taps)
         assert got[t] == (exp_num, exp_den), t
+
+
+# --- cents_grid: FLOOR(+0.5) must equal round-half-up on the money grid
+
+
+@SLOW
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10_000_000_000),
+        min_size=1,
+        max_size=50,
+    ),
+    scale=st.sampled_from([2, 4, 6]),
+)
+def test_cents_grid_recovers_exact_grid_integers(spark, cents, scale):
+    """cents_grid (FLOOR(x*10^s + 0.5), the primitive-codegen
+    replacement for Spark's BigDecimal-backed ROUND) must recover the
+    EXACT grid integer for every non-negative decimal(scale)-grid
+    double — the invariant every exact money aggregate rests on.
+    Inputs sweep 0..1e10 grid units (1e8 currency units at 2dp), well
+    past q1's domain."""
+    from etl_data_pipeline_spark.functions.canonical import cents_grid
+
+    df = spark.createDataFrame([(c,) for c in cents], "c long").select(
+        "c", (F.col("c") / (10**scale)).alias("x")
+    )
+    out = df.select("c", cents_grid(F.col("x"), scale).alias("g")).collect()
+    for r in out:
+        # the grid double c/10^s must map back to exactly c
+        assert r["g"] == r["c"], (r["c"], scale, r["g"])
+
+
+@SLOW
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10_000_000_000),
+        min_size=1,
+        max_size=50,
+    ),
+    scale=st.sampled_from([2, 4, 6]),
+)
+def test_cents_grid_matches_spark_round(spark, cents, scale):
+    """On grid doubles, cents_grid and Spark's ROUND (BigDecimal
+    HALF_UP) agree value-for-value — the A/B that justifies swapping
+    the mechanism without touching any oracle."""
+    from etl_data_pipeline_spark.functions.canonical import cents_grid
+
+    df = spark.createDataFrame([(c,) for c in cents], "c long").select(
+        (F.col("c") / (10**scale)).alias("x")
+    )
+    out = df.select(
+        cents_grid(F.col("x"), scale).alias("g"),
+        F.round(F.col("x") * (10**scale)).cast("long").alias("r"),
+    ).collect()
+    for row in out:
+        assert row["g"] == row["r"]
