@@ -179,6 +179,35 @@ def _func_touches(pairs: set[tuple[str, str]],
     return touch_after
 
 
+def prescribe(audit: dict, window: int = _WINDOW):
+    """Pure ranking core (unit-tested in tests/test_coverage_audit.py).
+
+    Input: {name: {last_checked_round, touched_since?,
+    newest_change_round?}}.  Returns (never, stale, suggested,
+    overflow): never-checked queries first, then stale queries ranked
+    by RECENCY of the invalidating change (a round-6 operator rewrite
+    outranks round-2 shared-loader drift), tie-broken by oldest driver
+    evidence, then the oldest-evidence refresh cohort; ``suggested`` is
+    the first ``window`` names, ``overflow`` the unverified names that
+    did not fit and must lead the next round.
+    """
+    never = sorted(n for n, e in audit.items() if not e["last_checked_round"])
+    stale = sorted(
+        (n for n, e in audit.items()
+         if e["last_checked_round"] and e.get("touched_since")),
+        key=lambda n: (-audit[n]["newest_change_round"],
+                       audit[n]["last_checked_round"], n),
+    )
+    oldest = sorted(
+        (n for n, e in audit.items()
+         if e["last_checked_round"] and n not in set(stale)),
+        key=lambda n: (audit[n]["last_checked_round"], n),
+    )
+    suggested = (never + stale + oldest)[:window]
+    overflow = [n for n in never + stale if n not in set(suggested)]
+    return never, stale, suggested, overflow
+
+
 def build_audit(trace: bool = True) -> dict:
     load_all_plans()
     bounds = _round_boundaries()
@@ -221,26 +250,7 @@ def build_audit(trace: bool = True) -> dict:
                 ) + 1
         audit[name] = entry
 
-    never = sorted(n for n, e in audit.items() if not e["last_checked_round"])
-    # Stale queries ranked by recency of the invalidating change — a
-    # round-6 rewrite outranks round-2 shared-loader drift — then by
-    # oldest driver evidence.
-    stale = sorted(
-        (n for n, e in audit.items()
-         if e["last_checked_round"] and e.get("touched_since")),
-        key=lambda n: (-audit[n]["newest_change_round"],
-                       audit[n]["last_checked_round"], n),
-    )
-    # Mechanical _PRIORITY: unverified code first (never-checked, then
-    # touched-since-check), then refresh the oldest driver evidence.
-    oldest = sorted(
-        (n for n, e in audit.items()
-         if e["last_checked_round"] and n not in set(stale)),
-        key=lambda n: (audit[n]["last_checked_round"], n),
-    )
-    ordered = never + stale + oldest
-    suggested = ordered[:_WINDOW]
-    overflow = [n for n in never + stale if n not in set(suggested)]
+    never, stale, suggested, overflow = prescribe(audit, _WINDOW)
     summary = {
         "n_queries": len(audit),
         "n_never_checked": len(never),
