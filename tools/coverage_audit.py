@@ -266,14 +266,20 @@ def build_audit(trace: bool = True) -> dict:
 
 def main() -> None:
     check = "--check" in sys.argv
-    result = build_audit(trace="--no-trace" not in sys.argv)
+    trace = "--no-trace" not in sys.argv
+    result = build_audit(trace=trace)
     summary = result["summary"]
-    out_path = _REPO / "COVERAGE_AUDIT.json"
-    with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
     print(json.dumps({k: v for k, v in summary.items()
                       if k != "round_boundaries"}, indent=2))
-    print(f"wrote {out_path}")
+    if trace:
+        out_path = _REPO / "COVERAGE_AUDIT.json"
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(f"wrote {out_path}")
+    else:
+        # without the trace there is no staleness info — never overwrite
+        # the committed audit with a degraded prescription
+        print("--no-trace: COVERAGE_AUDIT.json NOT written (no staleness info)")
     if check:
         # The actionable invariant: the registry's driver window (front
         # _WINDOW entries after load_all_plans ordering) is exactly the
