@@ -253,7 +253,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sums 0.37 s = 1.26x, the residual price of cross-engine
     determinism (DECIMAL path: 2.3x slower than the wide split).
     bench.py re-measures this pairing every run and stamps it into
-    load_context.q1_paired_ratio.
+    load_context.q1_paired_ratio.  Rejected alternative (2026-08-14): a
+    pre-projection hoisting each cents_grid into a select before the
+    aggregate measured 0.430 vs 0.437 s — codegen's subexpression
+    elimination already dedups the grid computation, so the flatter
+    current formulation stays.
     The 4dp/6dp columns use the hi/lo split, whose component sums hold
     to ~9e12 rows per group (q1's groups are whole table / 6, so the
     envelope is the binding one).
