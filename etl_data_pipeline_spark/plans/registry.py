@@ -53,65 +53,65 @@ _PLAN_MODULES = [
 _PRIORITY = [
     # -- round 7: set MECHANICALLY from COVERAGE_AUDIT.json
     # summary.suggested_priority (tools/coverage_audit.py, VERDICT r6
-    # item 2).  Ordering: queries whose EXECUTED code (profiler-traced
-    # at plan construction + one-hop referenced executor kernels)
-    # changed most recently first — the round-7 edits (cents_grid/q1,
-    # PQ geometry, materialize sites) and the round-6 dedup/ANN/graph
-    # rewrites — then the oldest-evidence cohort.  119 queries are
-    # stale under the strict no-row-predates-code rule; the 69 that
-    # don't fit this 50-slot window are in
-    # summary.stale_overflow_next_round and rotate in round 8.
-    # Registry growth stays FROZEN. ----------------------------------
+    # item 2).  The audit now measures SEMANTIC staleness (normalized
+    # AST, docstrings/comments stripped, module preludes hashed
+    # separately) and ranks by change SPECIFICITY: queries whose own
+    # operators/kernels were rewritten (the r6 perf campaign + r7
+    # materialize()/cents_grid/PQ-geometry edits) lead; queries whose
+    # only invalidation is infra drift traced by all 271 (session
+    # confs) rotate behind them.  Overflow is in
+    # summary.stale_overflow_next_round for round 8.  Registry growth
+    # stays FROZEN. ---------------------------------------------------
     "i4c_ngram_jaccard",
     "i4_jaccard_pairs",
-    "i4b_minhash_lsh",
     "kcore_peel",
-    "lsh_bucket_stats",
     "minhash_est_quality",
     "mmr_diversified_topk",
     "neardup_clusters",
-    "neardup_degree_hist",
     "neardup_triangles",
     "pagerank_neardup",
     "containment_pairs",
     "neardup_link_predict",
+    "q1_pricing_summary",
+    "distinct_agg",
     "pq_ann",
     "pq_recall",
-    "q1_pricing_summary",
-    "i8_centroid_classify",
-    "i6c_quantized_rerank",
-    "d8_percentiles",
-    "distinct_agg",
-    "f1_multi_sort",
-    "g3b_dedup_subset_keepmin",
-    "stats_corr",
+    "corpus_curation",
+    "hash_split",
     "pretrain_corpus",
-    "a15_file_lineage",
-    "a16_fixed_width",
-    "embedding_clip_stats",
-    "event_debounce",
-    "h1c_regexp_extract_all",
-    "j11_stream_update_counts",
-    "j5_stream_watermark",
+    "i6c_quantized_rerank",
     "mm_decode_audio",
     "mm_resize",
-    "pareto_abc",
-    "profile_table",
-    "trend_slope",
-    "h2b_datetime_funcs_more",
+    "i4b_minhash_lsh",
+    "neardup_degree_hist",
     "j7_stateful_totals",
-    "c10_null_aware_anti",
-    "c4b_shuffle_hash_hint",
-    "chunk_overlap",
-    "e1c_ntile",
+    "j10_stream_session_windows",
+    "j11_stream_update_counts",
+    "j5_stream_watermark",
+    "j6_stream_dedup",
+    "j8_foreach_batch_sink",
+    "j9_stream_stream_join",
+    "lsh_bucket_stats",
+    "h1_string_funcs",
+    "h1b_string_funcs_more",
+    "h2_datetime_funcs",
+    "h2b_datetime_funcs_more",
+    "h3_math_funcs",
+    "h4_array_funcs",
+    "h6_json_extract",
+    "h6b_from_json",
+    "h5_map_funcs",
+    "h1c_regexp_extract_all",
+    "anomaly_p95",
+    "daily_active_cumulative",
+    "e5_running_distinct",
+    "funnel_conversion",
+    "gap_fill_locf",
+    "resample_ohlc",
     "rollup_reuse_daily_monthly",
-    "a1_parquet_scan",
-    "a5_nanos_ingest",
-    "b1_project_derive",
-    "b2_filter_predicates",
-    "b3_case_when",
-    "b4_null_handling",
-    "b5_casts",
+    "rolling_median",
+    "trend_slope",
+    "c4b_shuffle_hash_hint",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -12,7 +12,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from coverage_audit import prescribe  # noqa: E402
+from coverage_audit import (  # noqa: E402
+    _MODULE_PRELUDE,
+    normalized_func_hashes,
+    prescribe,
+)
 
 
 def _e(checked: int, change: int | None = None) -> dict:
@@ -51,6 +55,21 @@ def test_stale_ranked_by_change_recency_then_oldest_evidence():
     assert suggested == stale
 
 
+def test_specific_rewrite_outranks_infra_drift():
+    """A targeted operator rewrite (stale fn traced by few queries)
+    must take a window slot before queries invalidated only by
+    infrastructure drift (stale fn traced by everything) — even when
+    the infra change is more recent."""
+    audit = {
+        "infra_only": {**_e(1, change=7), "most_specific_share": 0.99},
+        "op_rewrite": {**_e(5, change=6), "most_specific_share": 0.01},
+        "file_prelude": {**_e(3, change=6), "most_specific_share": 0.15},
+    }
+    _, stale, suggested, _ = prescribe(audit, window=3)
+    assert stale == ["op_rewrite", "file_prelude", "infra_only"]
+    assert suggested == stale
+
+
 def test_overflow_is_the_unverified_tail_not_the_refresh_cohort():
     audit = {f"stale{i}": _e(1, change=2) for i in range(5)}
     audit["green"] = _e(6)
@@ -74,3 +93,57 @@ def test_window_bound_respected():
     assert len(suggested) == 50
     assert len(overflow) == 50
     assert not set(suggested) & set(overflow)
+
+
+# --- normalized_func_hashes: SEMANTIC staleness, not line churn ------
+
+_V1 = '''
+ORACLE = "SELECT 1 AS x"
+
+def q(spark, sf):
+    """doc v1"""
+    # comment v1
+    return spark.range(1)
+'''
+
+
+def test_docstring_and_comment_edits_do_not_invalidate():
+    v2 = _V1.replace("doc v1", "doc v2 — recorded a rejected A/B here")
+    v2 = v2.replace("# comment v1", "# totally different commentary")
+    h1, h2 = normalized_func_hashes(_V1), normalized_func_hashes(v2)
+    assert h1["q"] == h2["q"]
+    assert h1[_MODULE_PRELUDE] == h2[_MODULE_PRELUDE]
+
+
+def test_body_change_invalidates_function_only():
+    v2 = _V1.replace("spark.range(1)", "spark.range(2)")
+    h1, h2 = normalized_func_hashes(_V1), normalized_func_hashes(v2)
+    assert h1["q"] != h2["q"]
+    assert h1[_MODULE_PRELUDE] == h2[_MODULE_PRELUDE]
+
+
+def test_module_constant_change_invalidates_prelude():
+    # shared oracle SQL constants (e.g. _SESSION_ORACLE) live at module
+    # level — a change there must mark the file's queries stale even
+    # though no function body changed
+    v2 = _V1.replace("SELECT 1", "SELECT 2")
+    h1, h2 = normalized_func_hashes(_V1), normalized_func_hashes(v2)
+    assert h1["q"] == h2["q"]
+    assert h1[_MODULE_PRELUDE] != h2[_MODULE_PRELUDE]
+
+
+def test_decorator_oracle_change_invalidates_function():
+    v1 = "@reg('q', oracle='SELECT 1')\ndef q(s):\n    return s\n"
+    v2 = "@reg('q', oracle='SELECT 2')\ndef q(s):\n    return s\n"
+    assert normalized_func_hashes(v1)["q"] != normalized_func_hashes(v2)["q"]
+
+
+def test_nested_kernel_docstring_stripped_and_hashed():
+    v1 = "def outer(s):\n    def kern(b):\n        '''k doc'''\n        return b\n    return kern\n"
+    v2 = v1.replace("k doc", "k doc changed")
+    v3 = v1.replace("return b", "return b + 1")
+    h1, h2, h3 = map(normalized_func_hashes, (v1, v2, v3))
+    assert h1["outer"] == h2["outer"]
+    assert h1["outer"] != h3["outer"]
+    # the nested kernel also gets its own entry
+    assert h1["kern"] == h2["kern"] != h3["kern"]

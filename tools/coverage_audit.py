@@ -7,9 +7,12 @@ For every registered query, reports:
   - ``touched_since``: engine functions the query EXECUTES (discovered
     by profiling its plan construction at sf0.001, not just the
     registered wrapper — the round-6 perf campaign changed operator
-    modules under unchanged wrappers, which the old wrapper-only ``git
-    log -L`` check missed) that have commits after the end of the
-    query's last-checked round.
+    modules under unchanged wrappers, which a wrapper-only check would
+    miss) that are MATERIALLY different now from the end of the
+    query's last-checked round.  "Materially" = normalized-AST
+    comparison (docstrings/comments stripped, module-level constants
+    included via a prelude hash) — a docstring-only edit does not
+    invalidate a driver row, an executable or oracle-SQL change does.
 
 The audit is MECHANICAL, not prose (VERDICT r6 item 2): it emits
 ``summary.suggested_priority`` — code-touched-since-check queries
@@ -147,33 +150,115 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
     return traced
 
 
+#: Pseudo-function key under which ``normalized_func_hashes`` reports
+#: the module-prelude hash (illegal as a Python identifier, so it can
+#: never collide with a real function name).
+_MODULE_PRELUDE = "<module-prelude>"
+
+
+def normalized_func_hashes(source: str) -> dict[str, list[str]]:
+    """Map function name -> sorted list of SEMANTIC hashes of every
+    def/async-def with that name in ``source`` (methods and nested defs
+    included).
+
+    The hash is over ``ast.dump`` with all docstrings stripped from the
+    subtree, so comment-only and docstring-only edits — e.g. recording
+    a rejected-A/B note in a query's docstring — do NOT change it,
+    while any executable change (including decorator arguments, where
+    the registry's oracle SQL lives) does.  This is what makes the
+    staleness audit mean "the code the driver checked has materially
+    changed", not "someone touched these lines" (the former ``git log
+    -L`` check flagged 269/271 queries after a round of docstring
+    edits, crowding the genuinely-rewritten queries out of the driver
+    window).
+    """
+    import ast
+    import hashlib
+
+    def _strip_docstrings(node) -> None:
+        for sub in ast.walk(node):
+            body = getattr(sub, "body", None)
+            if (
+                isinstance(body, list)
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+                if not body:
+                    body.append(ast.Pass())
+
+    def _hash(node) -> str:
+        dump = ast.dump(node, include_attributes=False)
+        return hashlib.sha256(dump.encode()).hexdigest()[:16]
+
+    tree = ast.parse(source)
+    out: dict[str, list[str]] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            clone = ast.parse(ast.unparse(node)).body[0]
+            _strip_docstrings(clone)
+            out.setdefault(node.name, []).append(_hash(clone))
+    # Module prelude: everything OUTSIDE function bodies (module-level
+    # constants such as shared oracle SQL, imports, class/def
+    # signatures).  A change here marks every traced function in the
+    # file stale — coarse, but module-level edits are material by
+    # definition (comments/docstrings are already excluded).
+    prelude = ast.parse(ast.unparse(tree))
+    for node in ast.walk(prelude):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            node.body = [ast.Pass()]
+            node.decorator_list = []  # covered by the per-function hash
+    _strip_docstrings(prelude)
+    out[_MODULE_PRELUDE] = [_hash(prelude)]
+    return {name: sorted(hs) for name, hs in out.items()}
+
+
 def _func_touches(pairs: set[tuple[str, str]],
                   boundaries: dict[int, str]) -> dict[tuple[str, str], set[int]]:
     """For each (file, func), the set of rounds R such that the function
-    body has commits AFTER round R's boundary (i.e. a round-R check is
-    stale for any query executing this function)."""
+    is MATERIALLY different now (working tree) from round R's boundary
+    commit — i.e. a round-R driver row is stale for any query executing
+    this function.  "Materially" = normalized-AST inequality (see
+    ``normalized_func_hashes``): docstring/comment edits don't count."""
     rounds = sorted(boundaries)
+    files = {relpath for relpath, _ in pairs}
+
+    # One parse per (file, version): working tree + each round boundary.
+    now_hashes: dict[str, dict[str, list[str]]] = {}
+    old_hashes: dict[tuple[str, int], dict[str, list[str]]] = {}
+    for relpath in sorted(files):
+        now_hashes[relpath] = normalized_func_hashes(
+            (Path(_REPO) / relpath).read_text()
+        )
+        for rnd in rounds:
+            src = _git("show", f"{boundaries[rnd]}:{relpath}")
+            # file absent at that boundary -> every func in it is new
+            old_hashes[(relpath, rnd)] = (
+                normalized_func_hashes(src) if src else {}
+            )
+
     touch_after: dict[tuple[str, str], set[int]] = {}
+    # Prelude invalidation is reported as its own (file, <module-prelude>)
+    # pair — NOT smeared over every function in the file, which would
+    # make a file-wide import edit look like a per-function rewrite and
+    # destroy the specificity signal prescribe() ranks by.
+    for relpath in sorted(files):
+        now_prelude = now_hashes[relpath][_MODULE_PRELUDE]
+        stale_for = {
+            rnd for rnd in rounds
+            if old_hashes[(relpath, rnd)].get(_MODULE_PRELUDE) != now_prelude
+        }
+        if stale_for:
+            touch_after[(relpath, _MODULE_PRELUDE)] = stale_for
     for pair in sorted(pairs):
         relpath, func = pair
-        stale_for: set[int] = set()
-        # Newest commit touching the function body; compare against each
-        # boundary via ancestry (one -L walk per function, not per round).
-        out = _git("log", "--format=%H", "--no-patch",
-                   "-L", f":{func}:{relpath}")
-        commits = [c for c in out.splitlines() if c]
-        if not commits:
-            continue  # git couldn't locate the function; wrapper check still applies
-        newest = commits[0]
-        for rnd in rounds:
-            # stale for round `rnd` iff newest touch is NOT an ancestor
-            # of the round boundary (i.e. it landed after the round).
-            anc = subprocess.run(
-                ["git", "-C", str(_REPO), "merge-base", "--is-ancestor",
-                 newest, boundaries[rnd]],
-            )
-            if anc.returncode != 0:
-                stale_for.add(rnd)
+        now = now_hashes[relpath].get(func)
+        stale_for = {
+            rnd for rnd in rounds
+            if old_hashes[(relpath, rnd)].get(func) != now
+        }
         if stale_for:
             touch_after[pair] = stale_for
     return touch_after
@@ -183,19 +268,26 @@ def prescribe(audit: dict, window: int = _WINDOW):
     """Pure ranking core (unit-tested in tests/test_coverage_audit.py).
 
     Input: {name: {last_checked_round, touched_since?,
-    newest_change_round?}}.  Returns (never, stale, suggested,
-    overflow): never-checked queries first, then stale queries ranked
-    by RECENCY of the invalidating change (a round-6 operator rewrite
-    outranks round-2 shared-loader drift), tie-broken by oldest driver
-    evidence, then the oldest-evidence refresh cohort; ``suggested`` is
-    the first ``window`` names, ``overflow`` the unverified names that
-    did not fit and must lead the next round.
+    newest_change_round?, most_specific_share?}}.  Returns (never,
+    stale, suggested, overflow): never-checked queries first, then
+    stale queries ranked by SPECIFICITY of the invalidating change
+    (``most_specific_share`` = fraction of all queries tracing the
+    most-targeted stale function — a rewrite of one operator's kernel,
+    traced by 3 queries, outranks a session-conf edit traced by all
+    271, because the targeted query has effectively never been
+    driver-checked in its current form while infra drift is re-covered
+    by any slot that executes it), then by RECENCY of the change,
+    tie-broken by oldest driver evidence; then the oldest-evidence
+    refresh cohort.  ``suggested`` is the first ``window`` names,
+    ``overflow`` the unverified names that did not fit and must lead
+    the next round.
     """
     never = sorted(n for n, e in audit.items() if not e["last_checked_round"])
     stale = sorted(
         (n for n, e in audit.items()
          if e["last_checked_round"] and e.get("touched_since")),
-        key=lambda n: (-audit[n]["newest_change_round"],
+        key=lambda n: (audit[n].get("most_specific_share", 1.0),
+                       -audit[n]["newest_change_round"],
                        audit[n]["last_checked_round"], n),
     )
     oldest = sorted(
@@ -221,10 +313,27 @@ def build_audit(trace: bool = True) -> dict:
                 passed[name] = _row_passed(row)
 
     traced = _trace_functions() if trace else {}
+    # A query is invalidated by its traced functions AND by the module
+    # preludes of the files they live in (module-level constants such
+    # as shared oracle SQL or the session's RUNTIME_CONFS).
+    for name, pairs in traced.items():
+        pairs |= {(relpath, _MODULE_PRELUDE) for relpath, _ in pairs}
     all_pairs: set[tuple[str, str]] = set()
     for pairs in traced.values():
         all_pairs |= pairs
     touch_after = _func_touches(all_pairs, bounds) if trace else {}
+
+    # Specificity: how many queries does each (file, func) invalidate?
+    # A change traced by 3 queries is a targeted rewrite; one traced by
+    # all 271 (e.g. session confs) is infrastructure drift.  prescribe()
+    # ranks the targeted ones first — they have effectively never been
+    # driver-checked in their current form, while infra drift is
+    # re-covered by ANY window slot that executes it.
+    trace_count: dict[tuple[str, str], int] = {}
+    for pairs in traced.values():
+        for pair in pairs:
+            trace_count[pair] = trace_count.get(pair, 0) + 1
+    n_queries = max(len(traced), 1)
 
     audit = {}
     for name, fn in QUERIES.items():
@@ -234,20 +343,25 @@ def build_audit(trace: bool = True) -> dict:
             "last_check_passed": passed.get(name),
         }
         if rnd and rnd in bounds:
-            stale_fns = sorted(
-                f"{relpath}:{func}"
-                for (relpath, func) in traced.get(name, ())
-                if rnd in touch_after.get((relpath, func), ())
+            stale_pairs = sorted(
+                pair for pair in traced.get(name, ())
+                if rnd in touch_after.get(pair, ())
             )
-            if stale_fns:
-                entry["touched_since"] = stale_fns
+            if stale_pairs:
+                entry["touched_since"] = [
+                    f"{relpath}:{func}" for relpath, func in stale_pairs
+                ]
                 # In which round did the newest invalidating change
                 # land?  stale_for = rounds whose boundary predates
                 # the change, so the change landed in max(stale_for)+1.
                 entry["newest_change_round"] = max(
-                    max(touch_after[(p.split(":")[0], p.split(":")[1])])
-                    for p in stale_fns
+                    max(touch_after[pair]) for pair in stale_pairs
                 ) + 1
+                entry["most_specific_share"] = round(
+                    min(trace_count[pair] for pair in stale_pairs)
+                    / n_queries,
+                    4,
+                )
         audit[name] = entry
 
     never, stale, suggested, overflow = prescribe(audit, _WINDOW)
