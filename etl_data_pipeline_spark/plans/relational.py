@@ -847,6 +847,12 @@ def q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ORDER BY ... LIMIT lowers to TakeOrderedAndProject (no global
     sort); revenue is rounded BEFORE ordering so both engines rank the
     same values, with l_orderkey as total-order tiebreak.
+
+    Money sum: cents_sum (single-BIGINT grid sum, primitive-long
+    codegen) — the group key is one order, so rows/group is bounded by
+    lineitems-per-order (~7) at ANY data scale and the 2^63 envelope
+    never tightens. A/B vs dec_sum at sf0.1 warm: 0.88 vs 0.94 s,
+    identical top-10.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -864,7 +870,7 @@ def q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", F.col("o_orderdate").cast("string").alias("orderdate_str")
         )
         .agg(
-            dec_sum(
+            cents_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
@@ -898,6 +904,13 @@ def q5_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders and orders joins lineitem on their natural keys — Catalyst/AQE
     picks SMJ or shuffled hash and handles skew. Filters sit on base
     tables so they push into the parquet scans.
+
+    Money sum: cents_sum_wide (hi/lo BIGINT split, primitive-long
+    codegen) because the group key is n_name — 5 groups, so rows/group
+    grows with the data and the single-long cents_sum envelope (~9e9
+    rows/group at 4dp) would tighten at 100 TB; the wide split holds to
+    ~9e12. A/B vs dec_sum at sf0.1 warm: 0.85 vs 0.91 s, identical
+    totals.
     """
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -907,6 +920,9 @@ def q5_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
+    rev_hi, rev_lo = cents_sum_wide(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -914,10 +930,16 @@ def q5_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-            ).alias("revenue"),
+            rev_hi.alias("_rev_hi"),
+            rev_lo.alias("_rev_lo"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            cents_recombine(F.col("_rev_hi"), F.col("_rev_lo"), 4).alias(
+                "revenue"
+            ),
+            "n_lineitems",
         )
     )
 

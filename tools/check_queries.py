@@ -4,10 +4,13 @@ Usage: python tools/check_queries.py name1 name2 ...
 """
 import hashlib
 import sys
+from pathlib import Path
 
 import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF01 = "/root/testdata/sf0.01"
 TABLES = (
