@@ -63,6 +63,8 @@ _PRIORITY = [
     # summary.stale_overflow_next_round for round 8.  Registry growth
     # stays FROZEN. ---------------------------------------------------
     "i4c_ngram_jaccard",
+    "q3_topk_join",
+    "q5_multi_join",
     "i4_jaccard_pairs",
     "kcore_peel",
     "minhash_est_quality",
@@ -72,10 +74,10 @@ _PRIORITY = [
     "pagerank_neardup",
     "containment_pairs",
     "neardup_link_predict",
-    "q1_pricing_summary",
     "distinct_agg",
     "pq_ann",
     "pq_recall",
+    "q1_pricing_summary",
     "corpus_curation",
     "hash_split",
     "pretrain_corpus",
@@ -110,8 +112,6 @@ _PRIORITY = [
     "resample_ohlc",
     "rollup_reuse_daily_monthly",
     "rolling_median",
-    "trend_slope",
-    "c4b_shuffle_hash_hint",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained
