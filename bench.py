@@ -66,27 +66,45 @@ def _wait_for_quiet_host() -> dict:
     artifact of record must never be a loaded-host run — BENCH_r05
     started at loadavg 12.2 and published a spurious 2.84x on q1).
 
-    Polls ``os.getloadavg()[0]`` until it drops below the gate
-    (default 2.0, ``$SPARK_GRAFT_LOAD_GATE``) or the max wait elapses
-    (default 240 s, ``$SPARK_GRAFT_LOAD_WAIT_MAX`` — bounded so a
-    driver-side timeout can never starve the round of its BENCH
-    artifact entirely); either way the outcome is recorded in
-    load_context so a contaminated run is self-describing, not silent.
+    Polls ``os.getloadavg()`` until BOTH the 1-min average drops below
+    the gate (default 2.0, ``$SPARK_GRAFT_LOAD_GATE``) and the 5-min
+    average below 1.5x the gate, or the max wait elapses (default 240 s,
+    ``$SPARK_GRAFT_LOAD_WAIT_MAX`` — bounded so a driver-side timeout
+    can never starve the round of its BENCH artifact entirely); either
+    way the outcome is recorded in load_context so a contaminated run
+    is self-describing, not silent.
+
+    The 5-min condition exists because a heavy job that finished a
+    minute ago leaves the 1-min average quiet while cache/cgroup/
+    thermal residue is still decaying: measured 2026-08-14, a run
+    started at loadavg (1.13, 3.84) read a uniformly inflated 10.6 s
+    headline vs 6.8 s in a genuinely settled window — a +56% artifact
+    error with zero code change.  1.5x keeps that case gated (3.84 >
+    3.0) while staying reachable inside the bounded wait: an idle
+    host's 5-min average decays from 3.8 to 3.0 in ~75 s.
     """
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "240"))
     waited = 0.0
-    samples = [round(os.getloadavg()[0], 2)]
-    while samples[-1] >= gate and waited < max_wait:
+
+    def _sample() -> tuple[float, float]:
+        one, five, _ = os.getloadavg()
+        return (round(one, 2), round(five, 2))
+
+    def _quiet(s: tuple[float, float]) -> bool:
+        return s[0] < gate and s[1] < 1.5 * gate
+
+    samples = [_sample()]
+    while not _quiet(samples[-1]) and waited < max_wait:
         step = min(15.0, max_wait - waited)
         time.sleep(step)
         waited += step
-        samples.append(round(os.getloadavg()[0], 2))
+        samples.append(_sample())
     return {
         "gate": gate,
         "waited_sec": round(waited, 1),
         "samples": samples[-8:],
-        "quiet": samples[-1] < gate,
+        "quiet": _quiet(samples[-1]),
     }
 
 

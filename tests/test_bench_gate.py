@@ -25,7 +25,7 @@ def test_gate_passes_immediately_on_quiet_host(monkeypatch):
     out = bench._wait_for_quiet_host()
     assert out["quiet"] is True
     assert out["waited_sec"] == 0.0
-    assert out["samples"] == [0.5]
+    assert out["samples"] == [(0.5, 1.0)]
 
 
 def test_gate_waits_then_proceeds_when_load_drops(monkeypatch):
@@ -37,7 +37,23 @@ def test_gate_waits_then_proceeds_when_load_drops(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     out = bench._wait_for_quiet_host()
     assert out["quiet"] is True
-    assert out["samples"][-1] == 1.2
+    assert out["samples"][-1] == (1.2, 0.0)
+    assert out["waited_sec"] > 0
+
+
+def test_gate_holds_for_five_minute_residue(monkeypatch):
+    """A just-finished heavy job: 1-min quiet, 5-min still high — the
+    gate must keep waiting (measured +56% headline inflation when it
+    didn't)."""
+    bench = _load_bench()
+    fives = iter([3.8, 3.1, 2.2])
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (1.1, next(fives), 4.0)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench._wait_for_quiet_host()
+    assert out["quiet"] is True
+    assert out["samples"][-1] == (1.1, 2.2)
     assert out["waited_sec"] > 0
 
 
