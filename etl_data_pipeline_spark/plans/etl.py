@@ -464,9 +464,17 @@ def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
              UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS i
       FROM documents
-    ), bg AS (
+    ), bg0 AS (
       SELECT DISTINCT a.doc_id, a.lang, a.tok || ' ' || b.tok AS sh
       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), bs AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM bg0 GROUP BY lang
+    ), dfc AS (
+      SELECT lang, sh, COUNT(*) AS df FROM bg0 GROUP BY lang, sh
+    ), bg AS (
+      SELECT bg0.doc_id, bg0.lang, bg0.sh
+      FROM bg0 JOIN dfc USING (lang, sh) JOIN bs USING (lang)
+      WHERE dfc.df * 5 <= 1 * bs.n_docs
     ), cnt AS (
       SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id
     ), inter AS (
@@ -491,12 +499,22 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     better exact verifier at scale (and the shingle of choice feeding
     MinHash in i4b).
 
-    The distinct shingle stream feeds THREE consumers (per-doc counts +
-    both self-join sides); Spark's executed plan showed 4 separate
-    corpus scans and 0 reused exchanges, so it is materialized once
-    (materialize() — the multi-consumer-DAG persist pattern; the
-    deduped stream is strictly smaller than re-scanning the corpus per
-    consumer).
+    Carries the SAME quadratic-fan-out guard as i4/containment_pairs:
+    shingles in more than 1/5 of a block's docs (stop-bigrams — "of
+    the") are dropped BEFORE set sizes are computed, in integer
+    arithmetic (df*5 <= n_docs) mirrored in the oracle.  Without it a
+    stop-bigram's join fan-out is |block|^2 at 100 TB; Jaccard is then
+    over the filtered shingle sets on both engines.  (Measured on the
+    fixed-vocab synthetic corpus, per-shingle df grows LINEARLY with
+    corpus size — sum(df^2) 221k at sf0.01 -> 19.0M at sf0.1 — which
+    is exactly the blow-up the cap bounds.)
+
+    The distinct shingle stream feeds FOUR consumers (block sizes, df
+    counts, per-doc counts, both self-join sides); Spark's executed
+    plan showed separate corpus scans and 0 reused exchanges, so it is
+    materialized once (materialize() — the multi-consumer-DAG persist
+    pattern; the deduped stream is strictly smaller than re-scanning
+    the corpus per consumer).
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "s", F.split("text", " ")
@@ -510,6 +528,17 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     ).distinct().transform(materialize)
+    block_sizes = (
+        bg.select("block", "doc_id").distinct()
+        .groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dfc = bg.groupBy("block", "sh").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        dfc.join(F.broadcast(block_sizes), "block")
+        .filter(F.col("df") * 5 <= 1 * F.col("n_docs"))
+        .select("block", "sh")
+    )
+    bg = bg.join(keep, ["block", "sh"])
     cnt = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bg.select(
         "block", "sh", F.col("doc_id").alias("a")
