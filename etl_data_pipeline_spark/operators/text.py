@@ -84,20 +84,39 @@ def jaccard_pairs(
     threshold: float,
     block_col: str = "lang",
     max_df_frac: float | None = None,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """I4: all-pairs token-set Jaccard within a blocking key.
+    """I4: all-pairs shingle-set Jaccard within a blocking key.
 
-    Blocked self-join on (block, token): candidate pairs only materialize
-    for docs sharing a token and block — the classic inverted-index join.
-    At 100 TB the block must be finer (LSH bands: see minhash_lsh_pairs);
-    this exact variant is the verifier those candidates feed into.
+    Blocked self-join on (block, shingle): candidate pairs only
+    materialize for docs sharing a shingle and block — the classic
+    inverted-index join.  At 100 TB the block must be finer (LSH bands:
+    see minhash_lsh_pairs); this exact variant is the verifier those
+    candidates feed into.
 
-    ``max_df_frac`` is the quadratic-fan-out guard: tokens whose document
-    frequency exceeds that fraction of the block's docs (stop words) are
-    dropped BEFORE set sizes are computed, capping any single token's
-    join fan-out at (max_df_frac * |block|)^2 instead of |block|^2.
-    Jaccard is then over the filtered token sets on both engines.
+    ``shingle_n`` picks the set elements: 1 = word tokens (i4),
+    2 = word bigrams (i4c — more selective, so the self-join
+    materializes fewer candidate pairs).
+
+    ``max_df_frac`` is the quadratic-fan-out guard: shingles whose
+    document frequency exceeds that fraction of the block's docs (stop
+    words / stop-bigrams) are dropped BEFORE set sizes are computed,
+    capping any single shingle's join fan-out at
+    (max_df_frac * |block|)^2 instead of |block|^2.  Jaccard is then
+    over the filtered shingle sets on both engines.
     """
+    if shingle_n == 1:
+        sh = F.explode(F.split("text", " "))
+    elif shingle_n == 2:
+        docs = docs.withColumn("_s", F.split("text", " "))
+        sh = F.explode(
+            F.expr(
+                "transform(slice(_s, 1, size(_s) - 1),"
+                " (x, i) -> concat(x, ' ', _s[i + 1]))"
+            )
+        )
+    else:
+        raise ValueError(f"shingle_n must be 1 or 2, got {shingle_n}")
     # The distinct stream feeds up to four consumers (block sizes, df
     # counts, per-doc counts, both self-join sides); without a
     # materialization point Spark re-scans the corpus for each
@@ -107,7 +126,7 @@ def jaccard_pairs(
     t = docs.select(
         "doc_id",
         F.col(block_col).alias("block"),
-        F.explode(F.split("text", " ")).alias("token"),
+        sh.alias("token"),
     ).distinct()
     t = materialize(t)
     if max_df_frac is not None:

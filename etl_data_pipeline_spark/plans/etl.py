@@ -509,61 +509,18 @@ def i4c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — sum(df^2) 221k at sf0.01 -> 19.0M at sf0.1 — which
     is exactly the blow-up the cap bounds.)
 
-    The distinct shingle stream feeds FOUR consumers (block sizes, df
-    counts, per-doc counts, both self-join sides); Spark's executed
-    plan showed separate corpus scans and 0 reused exchanges, so it is
-    materialized once (materialize() — the multi-consumer-DAG persist
-    pattern; the deduped stream is strictly smaller than re-scanning
-    the corpus per consumer).
+    One machinery with i4: this is ``operators.text.jaccard_pairs``
+    with ``shingle_n=2`` — same inverted-index join, same integer
+    df-cap, same multi-consumer materialize() point — so the guard is
+    tested once (tests/test_skew_stress.py) and holds for both
+    shingle grains.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "s", F.split("text", " ")
-    )
-    bg = d.select(
-        "doc_id",
-        F.col("lang").alias("block"),
-        F.explode(
-            F.expr(
-                "transform(slice(s, 1, size(s) - 1), (x, i) -> concat(x, ' ', s[i + 1]))"
-            )
-        ).alias("sh"),
-    ).distinct().transform(materialize)
-    block_sizes = (
-        bg.select("block", "doc_id").distinct()
-        .groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    dfc = bg.groupBy("block", "sh").agg(F.count(F.lit(1)).alias("df"))
-    keep = (
-        dfc.join(F.broadcast(block_sizes), "block")
-        .filter(F.col("df") * 5 <= 1 * F.col("n_docs"))
-        .select("block", "sh")
-    )
-    bg = bg.join(keep, ["block", "sh"])
-    cnt = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = bg.select(
-        "block", "sh", F.col("doc_id").alias("a")
-    )
-    b = bg.select(
-        "block", "sh", F.col("doc_id").alias("b")
-    )
-    inter = (
-        a.join(b, ["block", "sh"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    return (
-        inter.join(ca, "a")
-        .join(cb, "b")
-        .withColumn(
-            "jaccard",
-            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
-    )
+    d = load_table(spark, sf_dir, "documents")
+    from etl_data_pipeline_spark.operators.text import jaccard_pairs
+
+    return jaccard_pairs(
+        d, threshold=0.5, block_col="lang", max_df_frac=0.2, shingle_n=2
+    ).select("a", "b", "jaccard")
 
 
 # --------------------------------------------------------------------------

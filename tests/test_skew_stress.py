@@ -97,6 +97,47 @@ def test_mixed_corpus_finds_genuine_pairs_under_any_partitioning(
     assert got == [(9001, 9002), (9011, 9012), (9021, 9022)]
 
 
+def test_exact_jaccard_df_cap_diverts_boilerplate_both_grains(spark):
+    """The EXACT verifier's df-cap (jaccard_pairs max_df_frac), both
+    shingle grains: on the all-identical corpus every shingle's df is
+    100% of the block, so the cap empties every doc's set — 0 pairs
+    where the uncapped join would be n^2/2 = 124,750 all at jaccard
+    1.0."""
+    from etl_data_pipeline_spark.operators.text import jaccard_pairs
+
+    docs = _identical_corpus(spark).withColumn("lang", F.lit("x"))
+    for n in (1, 2):
+        got = jaccard_pairs(
+            docs, threshold=0.5, max_df_frac=0.2, shingle_n=n
+        )
+        assert got.count() == 0, f"shingle_n={n}"
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 17])
+def test_exact_bigram_jaccard_mixed_corpus_any_partitioning(spark, n_parts):
+    """Genuine near-dups survive the bigram df-cap (their shingles are
+    rare), the boilerplate cluster is diverted whole, and the result is
+    identical at every input partitioning.  Each genuine pair differs
+    in its last word only: 7 bigrams per doc, 6 shared, union 8 ->
+    jaccard 0.75 exactly."""
+    from etl_data_pipeline_spark.operators.text import jaccard_pairs
+
+    docs = (
+        _mixed_corpus(spark)
+        .withColumn("lang", F.lit("x"))
+        .repartition(n_parts)
+    )
+    rows = jaccard_pairs(
+        docs, threshold=0.5, max_df_frac=0.2, shingle_n=2
+    ).collect()
+    got = sorted((r["a"], r["b"], r["jaccard"]) for r in rows)
+    assert got == [
+        (9001, 9002, 0.75),
+        (9011, 9012, 0.75),
+        (9021, 9022, 0.75),
+    ]
+
+
 def test_identical_corpus_components_stay_bounded(spark):
     from etl_data_pipeline_spark.operators.graph import (
         connected_components_star,
