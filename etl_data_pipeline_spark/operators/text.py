@@ -79,6 +79,79 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def df_capped_shingle_stream(
+    docs: DataFrame,
+    block_col: str = "lang",
+    max_df_frac: float | None = None,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Shared front-end of every exact set-overlap verifier
+    (jaccard_pairs / containment_pairs): the distinct
+    ``(doc_id, block, token, n_tok)`` shingle stream with the integer
+    df-cap applied and the per-doc set size attached.
+
+    ``shingle_n`` picks the set elements: 1 = word tokens, 2 = word
+    bigrams (more selective — fewer candidate pairs downstream).
+
+    ``max_df_frac`` is the quadratic-fan-out guard: shingles whose
+    document frequency exceeds that fraction of the block's docs (stop
+    words / stop-bigrams) are dropped BEFORE ``n_tok`` is computed, so
+    any single shingle's downstream join fan-out is capped at
+    (max_df_frac * |block|)^2 instead of |block|^2.  The comparison is
+    integer (df * den <= num * n_docs): a double product
+    (max_df_frac * n_docs) can round across an exact integer boundary
+    and flip a shingle's inclusion vs a DECIMAL-arithmetic oracle —
+    the float-boundary class this repo guards against everywhere else.
+
+    The stream feeds up to four consumers downstream (block sizes, df
+    counts, per-doc counts, both self-join sides); without a
+    materialization point Spark re-scans the corpus for each
+    (executed-plan audit: 12 scans, 0 reused exchanges).  The deduped
+    stream is strictly smaller than the corpus, so computing it once
+    is the 100 TB-correct trade.
+    """
+    if shingle_n == 1:
+        sh = F.explode(F.split("text", " "))
+    elif shingle_n == 2:
+        docs = docs.withColumn("_s", F.split("text", " "))
+        sh = F.explode(
+            F.expr(
+                "transform(slice(_s, 1, size(_s) - 1),"
+                " (x, i) -> concat(x, ' ', _s[i + 1]))"
+            )
+        )
+    else:
+        raise ValueError(f"shingle_n must be 1 or 2, got {shingle_n}")
+    t = docs.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        sh.alias("token"),
+    ).distinct()
+    t = materialize(t)
+    if max_df_frac is not None:
+        from fractions import Fraction
+
+        frac = Fraction(max_df_frac).limit_denominator(1_000_000)
+        block_sizes = (
+            t.select("block", "doc_id")
+            .distinct()
+            .groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        dfc = t.groupBy("block", "token").agg(F.count(F.lit(1)).alias("df"))
+        keep = (
+            dfc.join(F.broadcast(block_sizes), "block")
+            .filter(
+                F.col("df") * F.lit(frac.denominator)
+                <= F.lit(frac.numerator) * F.col("n_docs")
+            )
+            .select("block", "token")
+        )
+        t = t.join(keep, ["block", "token"])
+    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    return materialize(t.join(counts, "doc_id"))  # feeds both join sides
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -105,57 +178,10 @@ def jaccard_pairs(
     (max_df_frac * |block|)^2 instead of |block|^2.  Jaccard is then
     over the filtered shingle sets on both engines.
     """
-    if shingle_n == 1:
-        sh = F.explode(F.split("text", " "))
-    elif shingle_n == 2:
-        docs = docs.withColumn("_s", F.split("text", " "))
-        sh = F.explode(
-            F.expr(
-                "transform(slice(_s, 1, size(_s) - 1),"
-                " (x, i) -> concat(x, ' ', _s[i + 1]))"
-            )
-        )
-    else:
-        raise ValueError(f"shingle_n must be 1 or 2, got {shingle_n}")
-    # The distinct stream feeds up to four consumers (block sizes, df
-    # counts, per-doc counts, both self-join sides); without a
-    # materialization point Spark re-scans the corpus for each
-    # (executed-plan audit: 12 scans, 0 reused exchanges).  The deduped
-    # stream is strictly smaller than the corpus, so computing it once
-    # is the 100 TB-correct trade.
-    t = docs.select(
-        "doc_id",
-        F.col(block_col).alias("block"),
-        sh.alias("token"),
-    ).distinct()
-    t = materialize(t)
-    if max_df_frac is not None:
-        # Compare in INTEGERS on both engines: df * den <= num * n_docs.
-        # A double product (max_df_frac * n_docs) can round across an
-        # exact integer boundary and flip a token's inclusion vs the
-        # oracle's DECIMAL arithmetic — the float-boundary class this
-        # repo guards against everywhere else.
-        from fractions import Fraction
-
-        frac = Fraction(max_df_frac).limit_denominator(1_000_000)
-        block_sizes = (
-            t.select("block", "doc_id")
-            .distinct()
-            .groupBy("block")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-        )
-        dfc = t.groupBy("block", "token").agg(F.count(F.lit(1)).alias("df"))
-        keep = (
-            dfc.join(F.broadcast(block_sizes), "block")
-            .filter(
-                F.col("df") * F.lit(frac.denominator)
-                <= F.lit(frac.numerator) * F.col("n_docs")
-            )
-            .select("block", "token")
-        )
-        t = t.join(keep, ["block", "token"])
-    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    t = materialize(t.join(counts, "doc_id"))  # feeds both join sides
+    t = df_capped_shingle_stream(
+        docs, block_col=block_col, max_df_frac=max_df_frac,
+        shingle_n=shingle_n,
+    )
     a = t.select(
         F.col("block"),
         F.col("token"),

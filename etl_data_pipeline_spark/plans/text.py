@@ -1002,26 +1002,16 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the division-free ``inter*10 >= 8*min(na,nb)`` and the score is an
     exact 1e-6 integer grid, so no doubles exist anywhere in the query.
     """
+    from etl_data_pipeline_spark.operators.text import (
+        df_capped_shingle_stream,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    # materialize the multi-consumer streams once (12-scan audit fix,
-    # same as operators/text.py::jaccard_pairs)
-    t = d.select(
-        "doc_id", F.col("lang").alias("block"),
-        F.explode(F.split("text", " ")).alias("token"),
-    ).distinct().transform(materialize)
-    block_sizes = (
-        t.select("block", "doc_id").distinct()
-        .groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
+    # shared exact-verifier front-end (distinct stream + integer df-cap
+    # + per-doc counts, materialized once) — one machinery with i4/i4c
+    t = df_capped_shingle_stream(
+        d, block_col="lang", max_df_frac=0.2, shingle_n=1
     )
-    dfc = t.groupBy("block", "token").agg(F.count(F.lit(1)).alias("df"))
-    keep = (
-        dfc.join(F.broadcast(block_sizes), "block")
-        .filter(F.col("df") * 5 <= 1 * F.col("n_docs"))
-        .select("block", "token")
-    )
-    t = t.join(keep, ["block", "token"])
-    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    t = materialize(t.join(counts, "doc_id"))
     a = t.select(
         "block", "token", F.col("doc_id").alias("a"), F.col("n_tok").alias("na")
     )
