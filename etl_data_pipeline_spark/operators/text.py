@@ -177,6 +177,23 @@ def jaccard_pairs(
     capping any single shingle's join fan-out at
     (max_df_frac * |block|)^2 instead of |block|^2.  Jaccard is then
     over the filtered shingle sets on both engines.
+
+    Rejected alternative, measured 2026-08-14 (don't retry without a
+    Zipf corpus): WWW'07 prefix filtering (index only each doc's
+    rarest ``n - ceil(tau*n) + 1`` shingles under a global df order,
+    then verify candidates exactly — output provably identical, and it
+    WAS hash-identical here).  On this fixed-vocab synthetic corpus it
+    ran 19.5 s vs 8.2 s direct at sf0.1 (bigrams, tau=0.5): there are
+    no genuinely rare shingles (min per-shingle df ~ n/150, every df
+    grows linearly with the corpus), so prefix collisions stay dense
+    while the extra candidate-distinct + verify joins add two more
+    shuffles.  Prefix filtering pays off when the df distribution has
+    a Zipf tail (real text); the direct capped join is the better plan
+    when it does not.  The genuinely sub-quadratic scale path either
+    way is minhash_lsh_pairs (measured 10x-data slope 1.9 vs 7.5
+    here) — this exact variant is its verifier/cost model, and is
+    marked expected-superlinear in tools/slope_audit.py with this
+    rationale.
     """
     t = df_capped_shingle_stream(
         docs, block_col=block_col, max_df_frac=max_df_frac,

@@ -1,0 +1,197 @@
+"""Registry-wide 10x scaling audit: run EVERY registered query at
+sf0.01 and sf0.1 (10x the data), report the wall-clock slope
+t(sf0.1)/t(sf0.01), and flag superlinear outliers.
+
+This generalizes the two mechanisms that already caught real
+quadratics (bench.py's headline scaling probe; the targeted
+tools/slope_check.py run that caught fuzzy_levenshtein at slope 26)
+to the whole registry — the mechanical answer to "would this plan
+survive a 100x scale-up?" for every operator, not just the nine
+headline ones.
+
+Method: per (query, sf) one warm run then one timed run in the same
+session (the warm-path measure bench.py uses), cache cleared between
+queries so one query's materialize() points don't subsidize the next.
+
+Reading a 10x-data slope correctly (first run of this audit
+mis-calibrated exactly this): a LINEAR operator reads slope ~10 once
+compute dominates fixed overheads, and anywhere in 1-10 when they
+still blur (most sub-second entries); the measured real quadratic
+(fuzzy_levenshtein pre-fix) read 26.  So:
+  - slope >= FLAG_SLOPE (12) with t(sf0.1) >= FLAG_MIN_SEC -> FLAGGED
+    (exit 1 under --check): growing strictly faster than the data.
+  - WATCH_SLOPE (5) <= slope < FLAG_SLOPE with t(sf0.1) >=
+    FLAG_MIN_SEC -> WATCH (reported, not failing): consistent with
+    linear compute, worth a plan read, not proof of a defect.
+Sub-second timings are overhead-dominated noise at any slope.
+
+The known-superlinear cost models are exempt with documented reasons
+(EXPECTED_SUPERLINEAR below): their growth is the point of the query
+(e.g. simhash_neardup's output itself is the quadratic pair set on
+this near-dup-dense synthetic corpus).
+
+Writes SLOPE_AUDIT.json at the repo root; exits 1 when an unexempted
+flag fires, so it can gate a round the way coverage_audit --check
+does.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from etl_data_pipeline_spark.plans import QUERIES, load_all_plans  # noqa: E402
+from etl_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+FLAG_SLOPE = 12.0
+WATCH_SLOPE = 5.0
+FLAG_MIN_SEC = 1.0
+
+#: Queries whose superlinear growth at 10x data is the documented cost
+#: model, not a plan defect.  Keep reasons one line and specific.
+EXPECTED_SUPERLINEAR: dict[str, str] = {
+    "simhash_neardup": (
+        "output IS the pair set; this synthetic corpus is near-dup-"
+        "dense (2/3 of all pairs within hamming<=3), so rows out grow "
+        "~n^2 by construction — banding still bounds the join"
+    ),
+    "i6b_cosine_topk_hof": (
+        "the DELIBERATELY-naive all-pairs comparator kept as a cost "
+        "model; quadratic by definition"
+    ),
+    "i4_jaccard_pairs": (
+        "exact all-pairs verifier: sum(df^2) join volume; the scale "
+        "path is i4b minhash_lsh_pairs (slope 1.9) — see the rejected "
+        "prefix-filter A/B in operators/text.py::jaccard_pairs"
+    ),
+    "i4c_ngram_jaccard": (
+        "exact all-pairs verifier (bigram grain): on this fixed-vocab "
+        "corpus every bigram's df grows ~linearly with the data "
+        "(sum(df^2) 221k at sf0.01 -> 19M at sf0.1) and the 1/5 "
+        "df-cap does not bind (max df ~15% of a block); direct-join "
+        "slope 7.5 measured, WWW'07 prefix filtering measured WORSE "
+        "(19.5 s vs 8.2 s — no Zipf tail to exploit); the scale path "
+        "is i4b minhash_lsh_pairs (slope 1.9)"
+    ),
+    "k7_cogroup_asof": (
+        "cogrouped-applyInPandas surface demo: linear work, but "
+        "per-user-group Arrow/pandas invocation overhead scales with "
+        "the group count, so the slope rides the linear-10 line; the "
+        "relational formulation of the same answer is c8_asof_join "
+        "(slope ~2)"
+    ),
+}
+
+SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
+
+
+def main() -> None:
+    check = "--check" in sys.argv
+    load_all_plans()
+    spark = get_spark(
+        app_name="slope-audit", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    run_all = bool(os.environ.get("SPARK_GRAFT_SWEEP_ALL"))
+    skipped = [] if run_all else sorted(SKIP_UNLESS_ALL & set(QUERIES))
+
+    results: dict[str, dict] = {}
+    fails: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        if name in skipped:
+            continue
+        secs = {}
+        try:
+            for sf in (SF_SMALL, SF_BIG):
+                fn(spark, sf).count()  # warm: JIT + shuffle files + persists
+                t0 = time.monotonic()
+                n = fn(spark, sf).count()
+                secs[sf.rsplit("/", 1)[1]] = round(time.monotonic() - t0, 3)
+            spark.catalog.clearCache()
+            slope = round(secs["sf0.1"] / max(secs["sf0.01"], 0.01), 2)
+            big_enough = secs["sf0.1"] >= FLAG_MIN_SEC
+            exempt = name in EXPECTED_SUPERLINEAR
+            results[name] = {
+                **secs,
+                "rows_big": n,
+                "slope": slope,
+                "flagged": slope >= FLAG_SLOPE and big_enough and not exempt,
+                "watch": (
+                    WATCH_SLOPE <= slope < FLAG_SLOPE
+                    and big_enough
+                    and not exempt
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            fails[name] = repr(e)[:200]
+            spark.catalog.clearCache()
+
+    flagged = sorted(
+        (n for n, r in results.items() if r["flagged"]),
+        key=lambda n: -results[n]["slope"],
+    )
+    watch = sorted(
+        (n for n, r in results.items() if r["watch"]),
+        key=lambda n: -results[n]["slope"],
+    )
+    expected_hits = {
+        n: EXPECTED_SUPERLINEAR[n]
+        for n, r in results.items()
+        if n in EXPECTED_SUPERLINEAR
+        and r["slope"] >= WATCH_SLOPE
+        and r["sf0.1"] >= FLAG_MIN_SEC
+    }
+    ranked = sorted(results.items(), key=lambda kv: -kv[1]["slope"])
+    out = {
+        "method": (
+            "per (query, sf): 1 warm + 1 timed run, same local[32] "
+            "session, cache cleared between queries; a LINEAR operator "
+            "reads slope ~10 at 10x data once compute dominates, so "
+            f"flag = slope >= {FLAG_SLOPE} (faster than the data), "
+            f"watch = {WATCH_SLOPE}-{FLAG_SLOPE} (linear-consistent), "
+            f"both requiring t(sf0.1) >= {FLAG_MIN_SEC}s, minus "
+            "documented cost models"
+        ),
+        "n_queries": len(results),
+        "fails": fails,
+        "skipped": skipped,
+        "flagged": flagged,
+        "watch": watch,
+        "expected_superlinear_hits": expected_hits,
+        "top_slopes": [
+            {"name": k, **v} for k, v in ranked[:25]
+        ],
+        "results": {k: v for k, v in sorted(results.items())},
+    }
+    with open(_REPO / "SLOPE_AUDIT.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(
+        json.dumps(
+            {k: out[k] for k in (
+                "n_queries", "fails", "flagged", "watch",
+                "expected_superlinear_hits",
+            )},
+            indent=1,
+        )
+    )
+    print(f"wrote {_REPO / 'SLOPE_AUDIT.json'}")
+    if check and (flagged or fails):
+        print(
+            f"SLOPE-FLAG: {len(flagged)} superlinear quer"
+            f"{'y' if len(flagged) == 1 else 'ies'}, "
+            f"{len(fails)} failures — read SLOPE_AUDIT.json",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
