@@ -92,6 +92,21 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
 SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
 
 
+def classify(name: str, t_small: float, t_big: float) -> dict:
+    """Pure classification core (unit-tested without Spark): slope and
+    flag/watch status for one query's two-scale timings."""
+    slope = round(t_big / max(t_small, 0.01), 2)
+    big_enough = t_big >= FLAG_MIN_SEC
+    exempt = name in EXPECTED_SUPERLINEAR
+    return {
+        "slope": slope,
+        "flagged": slope >= FLAG_SLOPE and big_enough and not exempt,
+        "watch": (
+            WATCH_SLOPE <= slope < FLAG_SLOPE and big_enough and not exempt
+        ),
+    }
+
+
 def main() -> None:
     check = "--check" in sys.argv
     load_all_plans()
@@ -116,19 +131,10 @@ def main() -> None:
                 n = fn(spark, sf).count()
                 secs[sf.rsplit("/", 1)[1]] = round(time.monotonic() - t0, 3)
             spark.catalog.clearCache()
-            slope = round(secs["sf0.1"] / max(secs["sf0.01"], 0.01), 2)
-            big_enough = secs["sf0.1"] >= FLAG_MIN_SEC
-            exempt = name in EXPECTED_SUPERLINEAR
             results[name] = {
                 **secs,
                 "rows_big": n,
-                "slope": slope,
-                "flagged": slope >= FLAG_SLOPE and big_enough and not exempt,
-                "watch": (
-                    WATCH_SLOPE <= slope < FLAG_SLOPE
-                    and big_enough
-                    and not exempt
-                ),
+                **classify(name, secs["sf0.01"], secs["sf0.1"]),
             }
         except Exception as e:  # noqa: BLE001
             fails[name] = repr(e)[:200]
