@@ -65,7 +65,6 @@ _PRIORITY = [
     "i4c_ngram_jaccard",
     "q3_topk_join",
     "q5_multi_join",
-    "i4_jaccard_pairs",
     "kcore_peel",
     "minhash_est_quality",
     "mmr_diversified_topk",
@@ -75,6 +74,7 @@ _PRIORITY = [
     "containment_pairs",
     "neardup_link_predict",
     "distinct_agg",
+    "i4_jaccard_pairs",
     "pq_ann",
     "pq_recall",
     "q1_pricing_summary",
