@@ -410,6 +410,20 @@ def main() -> None:
                 file=sys.stderr,
             )
             sys.exit(1)
+        # Same invariant the exact-order test pins
+        # (tests/test_plans.py::test_priority_matches_audit_prescription):
+        # _PRIORITY is set VERBATIM, not just as a set — otherwise this
+        # gate passes while the test fails, which costs a sync cycle.
+        from etl_data_pipeline_spark.plans.registry import _PRIORITY
+
+        if _PRIORITY != summary["suggested_priority"]:
+            print(
+                "WINDOW-ORDER-DESYNC: _PRIORITY covers the prescribed set "
+                "but not in the audit's order — set it verbatim from "
+                "summary.suggested_priority",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         overflow = summary["stale_overflow_next_round"]
         if overflow:
             print(
