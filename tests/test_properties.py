@@ -396,3 +396,107 @@ def test_cents_grid_matches_spark_round(spark, cents, scale):
     ).collect()
     for row in out:
         assert row["g"] == row["r"]
+
+
+CORPUS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),                      # block
+        st.lists(st.sampled_from("abcdef"), max_size=8),    # tokens
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+JACCARD_DIFF = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@JACCARD_DIFF
+@given(
+    corpus=CORPUS,
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    max_df_frac=st.sampled_from([None, 0.2, 0.5]),
+    shingle_n=st.sampled_from([1, 2]),
+)
+def test_jaccard_pairs_matches_brute_force(
+    spark, corpus, threshold, max_df_frac, shingle_n
+):
+    """Differential oracle for the exact-verifier machinery
+    (df_capped_shingle_stream + jaccard_pairs), BOTH shingle grains and
+    the df-cap on/off, against a from-scratch Python brute force with
+    the same declared semantics: distinct shingles per doc, block sizes
+    counted over docs that PRODUCE at least one shingle, the integer
+    df-cap (df*den <= num*n_docs), jaccard as one IEEE double division
+    of exact ints.  This is the harness that would have caught a
+    prefix-filter off-by-one before any driver run (the WWW'07
+    experiment was validated against exactly this class of check)."""
+    from fractions import Fraction
+
+    from etl_data_pipeline_spark.operators.text import jaccard_pairs
+
+    rows = [
+        (i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(
+        (r["a"], r["b"], r["inter"], r["jaccard"])
+        for r in jaccard_pairs(
+            docs,
+            threshold=threshold,
+            max_df_frac=max_df_frac,
+            shingle_n=shingle_n,
+        ).collect()
+    )
+    spark.catalog.clearCache()
+
+    # -- brute force -------------------------------------------------
+    def shingles(text):
+        toks = text.split(" ")
+        if shingle_n == 1:
+            return set(toks)
+        return {
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        }
+
+    sets = {i: (blk, shingles(txt)) for i, blk, txt in rows}
+    sets = {i: v for i, v in sets.items() if v[1]}  # docs with shingles
+    if max_df_frac is not None:
+        frac = Fraction(max_df_frac).limit_denominator(1_000_000)
+        n_docs = {}
+        for blk, _ in sets.values():
+            n_docs[blk] = n_docs.get(blk, 0) + 1
+        df = {}
+        for blk, sh in sets.values():
+            for s in sh:
+                df[(blk, s)] = df.get((blk, s), 0) + 1
+        sets = {
+            i: (
+                blk,
+                {
+                    s
+                    for s in sh
+                    if df[(blk, s)] * frac.denominator
+                    <= frac.numerator * n_docs[blk]
+                },
+            )
+            for i, (blk, sh) in sets.items()
+        }
+    want = []
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            (ba, sa), (bb, sb) = sets[x], sets[y]
+            if ba != bb or not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue  # pairs sharing no shingle never materialize
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                want.append((x, y, inter, jac))
+    assert got == sorted(want)
