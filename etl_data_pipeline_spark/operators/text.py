@@ -228,6 +228,60 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs_op(
+    docs: DataFrame,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    block_col: str = "lang",
+    max_df_frac: float | None = 0.2,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    |A n B| / min(|A|, |B|) >= num/den — the measure that catches a
+    short document embedded inside a long one, which symmetric Jaccard
+    structurally under-scores.  Same front-end as jaccard_pairs
+    (``df_capped_shingle_stream``); the threshold is the division-free
+    integer comparison ``inter*den >= num*min(na,nb)`` and the score an
+    exact 1e-6 integer grid, so no doubles exist anywhere.
+    """
+    t = df_capped_shingle_stream(
+        docs, block_col=block_col, max_df_frac=max_df_frac,
+        shingle_n=shingle_n,
+    )
+    a = t.select(
+        "block", "token",
+        F.col("doc_id").alias("a"), F.col("n_tok").alias("na"),
+    )
+    b = t.select(
+        F.col("block").alias("block_b"), F.col("token").alias("token_b"),
+        F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a.block == b.block_b) & (a.token == b.token_b) & (a.a < b.b),
+        )
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    small = F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.filter(
+            F.col("inter") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * small
+        )
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            small.cast("long").alias("n_small"),
+            F.expr(
+                "(inter * 1000000) div least(na, nb)"
+            ).alias("containment_grid"),
+        )
+    )
+
+
 def _minhash_wide(docs: DataFrame, num_hashes: int) -> DataFrame:
     """One row per doc with all ``num_hashes`` minhashes as columns
     m0..m{n-1} — ONE groupBy over the distinct (doc_id, token) stream

@@ -1001,44 +1001,16 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer df-cap (stop-word fan-out guard) — but the threshold is
     the division-free ``inter*10 >= 8*min(na,nb)`` and the score is an
     exact 1e-6 integer grid, so no doubles exist anywhere in the query.
+    One machinery with i4/i4c: ``operators.text.containment_pairs_op``
+    shares ``df_capped_shingle_stream`` and is differentially
+    property-tested against a Python brute force.
     """
-    from etl_data_pipeline_spark.operators.text import (
-        df_capped_shingle_stream,
-    )
+    from etl_data_pipeline_spark.operators.text import containment_pairs_op
 
     d = load_table(spark, sf_dir, "documents")
-    # shared exact-verifier front-end (distinct stream + integer df-cap
-    # + per-doc counts, materialized once) — one machinery with i4/i4c
-    t = df_capped_shingle_stream(
-        d, block_col="lang", max_df_frac=0.2, shingle_n=1
-    )
-    a = t.select(
-        "block", "token", F.col("doc_id").alias("a"), F.col("n_tok").alias("na")
-    )
-    b = t.select(
-        F.col("block").alias("block_b"), F.col("token").alias("token_b"),
-        F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"),
-    )
-    inter = (
-        a.join(
-            b,
-            (a.block == b.block_b) & (a.token == b.token_b) & (a.a < b.b),
-        )
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    small = F.least(F.col("na"), F.col("nb"))
-    return (
-        inter.filter(F.col("inter") * 10 >= 8 * small)
-        .select(
-            "a",
-            "b",
-            F.col("inter").cast("long").alias("inter"),
-            small.cast("long").alias("n_small"),
-            F.expr(
-                "(inter * 1000000) div least(na, nb)"
-            ).alias("containment_grid"),
-        )
+    return containment_pairs_op(
+        d, threshold_num=8, threshold_den=10, block_col="lang",
+        max_df_frac=0.2, shingle_n=1,
     )
 
 

@@ -500,3 +500,140 @@ def test_jaccard_pairs_matches_brute_force(
             if jac >= threshold:
                 want.append((x, y, inter, jac))
     assert got == sorted(want)
+
+
+@JACCARD_DIFF
+@given(
+    corpus=CORPUS,
+    thresh=st.sampled_from([(8, 10), (1, 2), (1, 1)]),
+    max_df_frac=st.sampled_from([None, 0.2]),
+)
+def test_containment_pairs_matches_brute_force(
+    spark, corpus, thresh, max_df_frac
+):
+    """Differential oracle for containment_pairs_op: the division-free
+    integer threshold (inter*den >= num*min) and the 1e-6 integer grid
+    score, against a from-scratch Python brute force in exact ints."""
+    from fractions import Fraction
+
+    from etl_data_pipeline_spark.operators.text import containment_pairs_op
+
+    num, den = thresh
+    rows = [
+        (i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(
+        (r["a"], r["b"], r["inter"], r["n_small"], r["containment_grid"])
+        for r in containment_pairs_op(
+            docs, threshold_num=num, threshold_den=den,
+            max_df_frac=max_df_frac,
+        ).collect()
+    )
+    spark.catalog.clearCache()
+
+    sets = {i: (blk, set(txt.split(" "))) for i, blk, txt in rows}
+    sets = {i: v for i, v in sets.items() if v[1]}
+    if max_df_frac is not None:
+        frac = Fraction(max_df_frac).limit_denominator(1_000_000)
+        n_docs = {}
+        for blk, _ in sets.values():
+            n_docs[blk] = n_docs.get(blk, 0) + 1
+        df = {}
+        for blk, sh in sets.values():
+            for s in sh:
+                df[(blk, s)] = df.get((blk, s), 0) + 1
+        sets = {
+            i: (
+                blk,
+                {
+                    s
+                    for s in sh
+                    if df[(blk, s)] * frac.denominator
+                    <= frac.numerator * n_docs[blk]
+                },
+            )
+            for i, (blk, sh) in sets.items()
+        }
+    want = []
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            (ba, sa), (bb, sb) = sets[x], sets[y]
+            if ba != bb or not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            n_small = min(len(sa), len(sb))
+            if inter * den >= num * n_small:
+                want.append((x, y, inter, n_small, inter * 1_000_000 // n_small))
+    assert got == sorted(want)
+
+
+@JACCARD_DIFF
+@given(
+    corpus=CORPUS,
+    threshold=st.sampled_from([0.3, 0.5]),
+    cap=st.sampled_from([None, 2, 100]),
+)
+def test_minhash_lsh_pairs_matches_brute_force(spark, corpus, threshold, cap):
+    """Differential oracle for the full LSH stack — md5-based 32-bit
+    token hash, 16 affine minhash permutations, 4-row band keys, the
+    bucket cap, the band self-join, and the exact-jaccard verify —
+    against a from-scratch Python mirror.  cap=2 exercises the divert
+    path on tiny corpora (identical docs collapse into one bucket)."""
+    import hashlib
+
+    from etl_data_pipeline_spark.operators.text import (
+        MINHASH_P,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, (_, toks) in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=threshold, max_bucket_size=cap
+        ).collect()
+    )
+    spark.catalog.clearCache()
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % MINHASH_P
+
+    sets = {i: set(txt.split(" ")) for i, txt in rows}
+    # mirror Spark exactly: the mod is applied PER TOKEN, then min —
+    # min((a*h+b) % P) != (min(a*h+b)) % P in general
+    sig = {
+        i: [
+            min(((j * 37 + 11) * h32(t) + (j * 104729 + 17)) % MINHASH_P
+                for t in toks)
+            for j in range(16)
+        ]
+        for i, toks in sets.items()
+    }
+    bands = {}  # (band, key) -> [doc_id]
+    for i, m in sig.items():
+        for b in range(4):
+            key = "-".join(str(m[b * 4 + j]) for j in range(4))
+            bands.setdefault((b, key), []).append(i)
+    cand = set()
+    for members in bands.values():
+        if cap is not None and len(members) > cap:
+            continue  # diverted whole
+        for x in members:
+            for y in members:
+                if x < y:
+                    cand.add((x, y))
+    want = []
+    for x, y in sorted(cand):
+        sa, sb = sets[x], sets[y]
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            want.append((x, y, jac))
+    assert got == sorted(want)
