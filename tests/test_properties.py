@@ -637,3 +637,58 @@ def test_minhash_lsh_pairs_matches_brute_force(spark, corpus, threshold, cap):
         if jac >= threshold:
             want.append((x, y, jac))
     assert got == sorted(want)
+
+
+@JACCARD_DIFF
+@given(
+    corpus=CORPUS,
+    max_hamming=st.sampled_from([2, 3]),
+)
+def test_simhash_neardup_matches_brute_force(spark, corpus, max_hamming):
+    """Differential oracle for the fourth dedup modality: the SimHash
+    fingerprint (tf-weighted ±1 votes over md5 bits, sign -> bit) and
+    the Hamming-band pair finder, against a Python mirror + O(n^2)
+    hamming scan.  max_hamming < bands, so by pigeonhole the banded
+    join must equal the brute-force scan EXACTLY — this pins both the
+    fingerprint math and the pigeonhole argument."""
+    import hashlib
+
+    from etl_data_pipeline_spark.operators.text import simhash_neardup_pairs
+
+    rows = [(i, " ".join(toks)) for i, (_, toks) in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            docs, bits=32, bands=4, max_hamming=max_hamming
+        ).collect()
+    )
+    spark.catalog.clearCache()
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    def fingerprint(text):
+        tf = {}
+        for t in text.split(" "):
+            tf[t] = tf.get(t, 0) + 1
+        out = 0
+        for j in range(32):
+            v = sum(
+                n * ((((h32(t) >> j) & 1) * 2) - 1) for t, n in tf.items()
+            )
+            if v > 0:
+                out |= 1 << j
+        return out
+
+    fp = {i: fingerprint(txt) for i, txt in rows}
+    want = []
+    ids = sorted(fp)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            d = bin(fp[x] ^ fp[y]).count("1")
+            if d <= max_hamming:
+                want.append((x, y, d))
+    assert got == sorted(want)
