@@ -692,3 +692,44 @@ def test_simhash_neardup_matches_brute_force(spark, corpus, max_hamming):
             if d <= max_hamming:
                 want.append((x, y, d))
     assert got == sorted(want)
+
+
+@SLOW
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10**15),
+        min_size=1,
+        max_size=40,
+    ),
+    scale=st.sampled_from([2, 4, 6]),
+)
+def test_cents_sum_wide_recombine_exact(spark, cents, scale):
+    """cents_sum_wide + cents_recombine must equal the exact integer
+    total (computed in Python bignum) cast to double the same way —
+    including totals past 2^53 where the DECIMAL(38,0) recombine is
+    the only exact path; and on the same data the single-long
+    cents_sum must agree wherever its envelope holds."""
+    from etl_data_pipeline_spark.functions.canonical import (
+        cents_recombine,
+        cents_sum,
+        cents_sum_wide,
+    )
+
+    df = spark.createDataFrame([(c,) for c in cents], "c long").select(
+        (F.col("c") / (10**scale)).alias("x")
+    )
+    hi, lo = cents_sum_wide(F.col("x"), scale)
+    row = (
+        df.agg(
+            hi.alias("h"), lo.alias("l"), cents_sum(F.col("x"), scale).alias("s")
+        )
+        .select(
+            cents_recombine(F.col("h"), F.col("l"), scale).alias("wide"),
+            "s",
+        )
+        .collect()[0]
+    )
+    total = sum(cents)  # exact bignum
+    assert row["wide"] == float(total) / float(10**scale)
+    # single-long path agrees (total is far below 2^63 here)
+    assert row["s"] == float(total) / float(10**scale)
