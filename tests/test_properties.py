@@ -733,3 +733,56 @@ def test_cents_sum_wide_recombine_exact(spark, cents, scale):
     assert row["wide"] == float(total) / float(10**scale)
     # single-long path agrees (total is far below 2^63 here)
     assert row["s"] == float(total) / float(10**scale)
+
+
+@JACCARD_DIFF
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_planes=st.sampled_from([4, 8]),
+)
+def test_lsh_buckets_match_python_mirror(spark, vecs, n_planes):
+    """Differential oracle for the ANN bucket assignment: int8
+    quantization (pinned float op order: floor(x*127.0/max_abs + 0.5))
+    followed by the exact-integer sign grid (md5-derived plane weights,
+    integer projections) — mirrored step-for-step in Python.  This is
+    the determinism core the r6 bit-flip fix moved to integers; any
+    drift in the hash, the modulus, the quantization order, or the
+    sign test flips a bucket bit here before any recall gate sees it."""
+    import hashlib
+    import math
+
+    from etl_data_pipeline_spark.operators.similarity import lsh_buckets
+
+    rows = [(i, [x / 100.0 for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, n_planes).collect()
+    }
+    spark.catalog.clearCache()
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def w(j, pos):
+        return h32(f"{j}_{pos}") % 2001 - 1000
+
+    want = {}
+    for i, v in rows:
+        m = max(abs(x) for x in v)
+        scale = 1.0 if m == 0 else m
+        q = [math.floor(x * 127.0 / scale + 0.5) for x in v]
+        bucket = 0
+        for j in range(n_planes):
+            proj = sum(int(q[pos]) * w(j, pos) for pos in range(64))
+            if proj > 0:
+                bucket |= 1 << j
+        want[i] = bucket
+    assert got == want
