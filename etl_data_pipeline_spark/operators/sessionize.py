@@ -67,6 +67,15 @@ def asof_join(
 
     Right rows sort BEFORE left rows at equal timestamps (tag ordering)
     so ties are visible to the left row, matching ``ON l.ts >= r.ts``.
+
+    The window order ends with the right payload struct itself, making
+    it TOTAL across right rows that tie on (key, ts): without that, the
+    carried payload for a tied timestamp depends on partition-internal
+    row order — invisible on this testdata (nanosecond timestamps never
+    collide) but nondeterministic under retries/partitionings at scale,
+    the exact failure class the bucket/MG partition-invariance pins
+    guard elsewhere.  Tie semantics: the GREATEST payload struct
+    (field-lexicographic) among right rows at the matched timestamp.
     """
     lcols = left.columns
     l_tagged = left.select(
@@ -88,9 +97,9 @@ def asof_join(
         F.struct(*right_payload).alias("__right"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = Window.partitionBy("__key").orderBy("__ts", "__tag").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = Window.partitionBy("__key").orderBy(
+        "__ts", "__tag", "__right"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = unioned.withColumn(
         "__last_right", F.last("__right", ignorenulls=True).over(w)
     )

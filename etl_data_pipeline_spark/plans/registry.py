@@ -74,10 +74,12 @@ _PRIORITY = [
     "containment_pairs",
     "neardup_link_predict",
     "distinct_agg",
+    "c8_asof_join",
     "i4_jaccard_pairs",
     "pq_ann",
     "pq_recall",
     "q1_pricing_summary",
+    "scd2_point_in_time_join",
     "corpus_curation",
     "hash_split",
     "pretrain_corpus",
@@ -110,8 +112,6 @@ _PRIORITY = [
     "funnel_conversion",
     "gap_fill_locf",
     "resample_ohlc",
-    "rollup_reuse_daily_monthly",
-    "rolling_median",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -738,3 +738,28 @@ def test_misra_gries_flags_partition_independent(spark):
                 n_parts,
                 item,
             )
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_asof_join_tied_right_timestamps_deterministic(spark, n_parts):
+    """Right rows tying on (key, ts) must carry the SAME payload at
+    every input partitioning — the window order ends with the payload
+    struct, so the greatest struct wins deterministically instead of
+    whichever row a partition happened to order last (the
+    retry-nondeterminism class; invisible on the ns-timestamp testdata
+    where ties never occur)."""
+    from etl_data_pipeline_spark.operators.sessionize import asof_join
+
+    left = spark.createDataFrame([(1, 10, 100)], "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        [(5, 10, 100), (7, 10, 100), (6, 10, 100), (2, 10, 50)],
+        "event_id long, k long, ts long",
+    ).repartition(n_parts)
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "ts"],
+    ).collect()
+    assert [(r["lid"], r["r_event_id"]) for r in out] == [(1, 7)]
