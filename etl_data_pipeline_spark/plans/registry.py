@@ -51,67 +51,66 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 7: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority (tools/coverage_audit.py, VERDICT r6
-    # item 2).  The audit now measures SEMANTIC staleness (normalized
-    # AST, docstrings/comments stripped, module preludes hashed
-    # separately) and ranks by change SPECIFICITY: queries whose own
-    # operators/kernels were rewritten (the r6 perf campaign + r7
-    # materialize()/cents_grid/PQ-geometry edits) lead; queries whose
-    # only invalidation is infra drift traced by all 271 (session
-    # confs) rotate behind them.  Overflow is in
-    # summary.stale_overflow_next_round for round 8.  Registry growth
-    # stays FROZEN. ---------------------------------------------------
-    "i4c_ngram_jaccard",
-    "q3_topk_join",
-    "q5_multi_join",
-    "kcore_peel",
-    "minhash_est_quality",
-    "mmr_diversified_topk",
-    "neardup_clusters",
-    "neardup_triangles",
-    "pagerank_neardup",
-    "containment_pairs",
-    "neardup_link_predict",
-    "distinct_agg",
-    "c8_asof_join",
-    "i4_jaccard_pairs",
-    "pq_ann",
-    "pq_recall",
-    "q1_pricing_summary",
-    "scd2_point_in_time_join",
-    "corpus_curation",
-    "hash_split",
-    "pretrain_corpus",
-    "i6c_quantized_rerank",
-    "mm_decode_audio",
-    "mm_resize",
-    "i4b_minhash_lsh",
-    "neardup_degree_hist",
-    "j7_stateful_totals",
-    "j10_stream_session_windows",
-    "j11_stream_update_counts",
-    "j5_stream_watermark",
-    "j6_stream_dedup",
-    "j8_foreach_batch_sink",
-    "j9_stream_stream_join",
-    "lsh_bucket_stats",
-    "h1_string_funcs",
-    "h1b_string_funcs_more",
-    "h2_datetime_funcs",
-    "h2b_datetime_funcs_more",
-    "h3_math_funcs",
-    "h4_array_funcs",
-    "h6_json_extract",
-    "h6b_from_json",
-    "h5_map_funcs",
-    "h1c_regexp_extract_all",
-    "anomaly_p95",
-    "daily_active_cumulative",
-    "e5_running_distinct",
-    "funnel_conversion",
-    "gap_fill_locf",
-    "resample_ohlc",
+    # -- round 8: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority (tools/coverage_audit.py, VERDICT r7
+    # item 2).  The audit now certifies INFRA-ONLY drift transitively:
+    # a stale pair traced by >=25% of the registry (session confs,
+    # load_table) is certified fresh when any green driver row from a
+    # round at the pair's current AST traces the same pair — so the
+    # r7 221-name overflow collapses to the function-specific residue
+    # (cosine/ANN/kmeans family, rollup_reuse/rolling_median/
+    # trend_slope/c4b, the sql_* subquery family) plus oldest-evidence
+    # rotation.  Registry growth stays FROZEN. -------------------------
+    "rollup_reuse_daily_monthly",
+    "rolling_median",
+    "trend_slope",
+    "c4b_shuffle_hash_hint",
+    "bucketed_join",
+    "dpp_partition_pruned_join",
+    "sql_correlated_subquery",
+    "sql_exists_subquery",
+    "sql_nested_agg_subquery",
+    "sql_q6_revenue",
+    "skew_salted_join",
+    "events_tumbling",
+    "j2_sliding_window",
+    "j4_sessionization_metrics",
+    "cohort_retention",
+    "j3_session_window",
+    "c8b_asof_forward",
+    "event_debounce",
+    "interval_overlap_join",
+    "cosine_topk",
+    "embedding_neardup",
+    "i6b_cosine_topk_hof",
+    "i7_knn",
+    "i8_centroid_classify",
+    "ivf_ann",
+    "ivf_recall",
+    "kmeans_lloyd",
+    "ann_lsh",
+    "ann_multiprobe",
+    "ann_multiprobe_recall",
+    "ann_recall",
+    "hybrid_rrf_search",
+    "i8b_centroid_accuracy",
+    "a10_orc_roundtrip",
+    "a12_zstd_parquet",
+    "a13_compact_small_files",
+    "a14_clustered_layout",
+    "sql_group_by_all",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "a11_text_roundtrip",
+    "a15_file_lineage",
+    "a16_fixed_width",
+    "a9_python_datasource",
+    "h7_variant",
+    "h8_xml_extract",
+    "k5_arrow_udf",
+    "k6_map_in_arrow",
+    "k7_cogroup_asof",
+    "k8_grouped_agg_udaf",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -14,8 +14,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from coverage_audit import (  # noqa: E402
     _MODULE_PRELUDE,
+    certified_pair_set,
     normalized_func_hashes,
     prescribe,
+    referenced_kernels,
+    split_stale,
 )
 
 
@@ -147,3 +150,104 @@ def test_nested_kernel_docstring_stripped_and_hashed():
     assert h1["outer"] != h3["outer"]
     # the nested kernel also gets its own entry
     assert h1["kern"] == h2["kern"] != h3["kern"]
+
+
+# --- transitive infra-drift certification (VERDICT r7 item 2) --------
+
+_INFRA = ("pkg/session.py", "ensure_confs")  # traced by everything
+_KERNEL = ("pkg/op.py", "kern")              # traced by 2 queries
+
+
+def _cert_fixture():
+    traced = {f"q{i}": {_INFRA} for i in range(10)}
+    traced["q0"].add(_KERNEL)
+    traced["q1"].add(_KERNEL)
+    last = {f"q{i}": 5 for i in range(10)}
+    last["q9"] = 7  # q9 got a fresh round-7 green row
+    passed = {f"q{i}": True for i in range(10)}
+    bounds = {5: "sha5", 7: "sha7"}
+    # both pairs changed after round 5's boundary but before round 7's
+    touch_after = {_INFRA: {5}, _KERNEL: {5}}
+    trace_count = {_INFRA: 10, _KERNEL: 2}
+    return traced, last, passed, bounds, touch_after, trace_count
+
+
+def test_infra_drift_certified_by_any_fresh_green_row():
+    traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _INFRA in cert  # q9's r7 row postdates the change
+    certified, specific = split_stale(
+        [_INFRA], trace_count, 10, cert)
+    assert certified == [_INFRA] and specific == []
+
+
+def test_kernel_rewrite_never_certified_even_with_fresh_row():
+    """q1 tracing the rewritten kernel got a green r7 row; q0 must
+    STILL be function-specific stale — a targeted rewrite earns a row
+    per query, certification is infra-only (trace-share gate)."""
+    traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
+    last["q1"] = 7
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _KERNEL in cert  # evidence exists...
+    certified, specific = split_stale(
+        [_INFRA, _KERNEL], trace_count, 10, cert)
+    assert specific == [_KERNEL]  # ...but share 2/10 < 0.25 blocks it
+    assert certified == [_INFRA]
+
+
+def test_failed_or_stale_rows_do_not_certify():
+    traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
+    passed["q9"] = False  # the only fresh row failed
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _INFRA not in cert
+    # a green row from BEFORE the change certifies nothing either
+    passed["q9"] = True
+    touch_after[_INFRA] = {5, 7}  # changed again after round 7
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _INFRA not in cert
+
+
+def test_row_with_missing_boundary_round_does_not_certify():
+    traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
+    del bounds[7]  # q9's round has no discovered boundary commit
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _INFRA not in cert
+
+
+# --- transitive (multi-hop) executor-kernel tracing (r7 stretch 7) ---
+
+_KERNEL_MODULE = '''
+def hop2_helper(x):
+    return x + 1
+
+def hop1_kernel(x):
+    return hop2_helper(x) * 2
+
+def entry_plan(s):
+    f = lambda b: hop1_kernel(b)
+    return f(s)
+'''
+
+
+def test_two_hop_kernel_is_traced(tmp_path):
+    """entry_plan references hop1_kernel only from inside a lambda
+    (nested code object), and hop1_kernel calls hop2_helper — a second
+    module-level hop the one-hop r7 tracer could not see.  Both must
+    appear in the kernel closure."""
+    import importlib.util
+
+    mod_path = tmp_path / "fake_kernels.py"
+    mod_path.write_text(_KERNEL_MODULE)
+    spec = importlib.util.spec_from_file_location("fake_kernels", mod_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["fake_kernels"] = mod
+    try:
+        spec.loader.exec_module(mod)
+        pairs = referenced_kernels(
+            {mod.entry_plan.__code__}, pkg_prefix=str(tmp_path)
+        )
+        names = {func for _, func in pairs}
+        assert "hop1_kernel" in names  # via the nested lambda
+        assert "hop2_helper" in names  # the second hop
+    finally:
+        del sys.modules["fake_kernels"]

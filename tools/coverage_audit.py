@@ -30,10 +30,29 @@ Executor-side kernels: a module-level function invoked ONLY inside an
 executor-side pandas UDF never runs on the driver, so the profiler
 alone can't see it.  The trace therefore also resolves, for every
 traced function, the module-level functions its code object REFERENCES
-(``co_names`` against the defining module's globals, one hop) — which
-is how such kernels are passed to ``applyInPandas``/``mapInPandas`` —
-and audits those too.  Kernels defined inside a traced function are
-already covered by the enclosing ``-L`` range.
+(``co_names``, including names referenced from nested lambdas/closures
+via ``co_consts``) against the defining module's globals — which is
+how such kernels are passed to ``applyInPandas``/``mapInPandas`` —
+and follows those references TRANSITIVELY to a fixpoint within the
+package (VERDICT r7 stretch item 7: a kernel calling a second
+module-level helper was previously invisible at one hop).
+
+Transitive infra-drift certification (VERDICT r7 item 2): a stale
+(file, func) pair is INFRA when it is traced by >= 25% of the whole
+registry (session confs ~269/271, catalog.load_table; calibrated so
+``materialize`` at ~15/271 and any operator kernel stay
+function-specific — a targeted rewrite must be re-checked per query,
+because different queries exercise different semantics of the same
+kernel, while infra is the identical call pattern everywhere).  An
+infra pair's drift is CERTIFIED when ANY query with a passing driver
+row from round R traces the same pair and the pair's normalized AST at
+round R's boundary equals the working tree — i.e. the driver has
+already validated the pair's current form through some window slot.
+A query whose every stale pair is certified infra is NOT ranked in
+the stale cohort (it joins the oldest-evidence rotation instead);
+without this rule one session-conf edit marks all 271 queries stale
+and the 50-slot window takes 4+ rounds to drain pure infra echo
+(exactly what happened in rounds 6-7).
 
 Writes COVERAGE_AUDIT.json at the repo root and prints a summary.
 """
@@ -55,6 +74,15 @@ from etl_data_pipeline_spark.plans import QUERIES, load_all_plans  # noqa: E402
 
 #: Size of the driver's correctness window (first N registry entries).
 _WINDOW = 50
+
+#: A stale (file, func) pair counts as INFRA — eligible for transitive
+#: certification by any other query's green row — only when traced by
+#: at least this share of the registry.  0.25 keeps session confs
+#: (~269/271) and catalog.load_table (>=0.3) infra while leaving
+#: ``materialize`` (~15/271) and every operator kernel
+#: function-specific: a targeted rewrite must earn a fresh row per
+#: query, because each query exercises different semantics of it.
+_INFRA_MIN_SHARE = 0.25
 
 _PKG = str(_REPO / "etl_data_pipeline_spark")
 
@@ -87,6 +115,65 @@ def _row_passed(row) -> bool:
     return bool(row)
 
 
+def _pair(co) -> tuple[str, str]:
+    return (os.path.relpath(co.co_filename, _REPO), co.co_name)
+
+
+def _names_incl_nested(co) -> set[str]:
+    """co_names of a code object AND of every code object nested in
+    its co_consts (lambdas/comprehensions/closures) — a kernel is
+    often referenced only from inside the lambda handed to a
+    higher-order helper."""
+    names: set[str] = set()
+    stack = [co]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for k in c.co_consts:
+            if hasattr(k, "co_names"):
+                stack.append(k)
+    return names
+
+
+def referenced_kernels(cos, pkg_prefix: str = _PKG) -> set[tuple[str, str]]:
+    """Module-level functions under ``pkg_prefix`` REFERENCED by the
+    given code objects, followed TRANSITIVELY (BFS to a fixpoint) —
+    the executor-side-kernel closure (see module docstring; VERDICT r7
+    item 7 made this multi-hop, so a kernel calling a second module-
+    level helper is audited too).  Module-level for unit-testability
+    (tests/test_coverage_audit.py names a two-hop kernel)."""
+    import inspect
+
+    def _module_for(co):
+        return next(
+            (m for m in list(sys.modules.values())
+             if getattr(m, "__file__", None) == co.co_filename),
+            None,
+        )
+
+    out: set[tuple[str, str]] = set()
+    visited_codes: set = set()
+    work = [(co, _module_for(co)) for co in cos]
+    while work:
+        co, mod = work.pop()
+        if mod is None or co in visited_codes:
+            continue
+        visited_codes.add(co)
+        for ref in sorted(_names_incl_nested(co)):
+            obj = getattr(mod, ref, None)
+            if (
+                inspect.isfunction(obj)
+                and getattr(obj.__code__, "co_filename", "").startswith(
+                    pkg_prefix)
+                and not obj.__name__.startswith("<")
+            ):
+                out.add(_pair(obj.__code__))
+                work.append(
+                    (obj.__code__, sys.modules.get(obj.__module__))
+                )
+    return out
+
+
 def _trace_functions() -> dict[str, set[tuple[str, str]]]:
     """Profile each query's plan construction; return the set of engine
     (relpath, function) pairs it executed on the driver."""
@@ -95,7 +182,6 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
     sf_dir = os.environ.get("SPARK_GRAFT_TRACE_SF", "/root/testdata/sf0.001")
     spark = get_spark(app_name="coverage-audit-trace")
     spark.sparkContext.setLogLevel("ERROR")
-    hits: set[tuple[str, str]] = set()
 
     raw: set = set()  # code objects, resolved to pairs after the loop
 
@@ -104,34 +190,6 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
             co = frame.f_code
             if co.co_filename.startswith(_PKG) and not co.co_name.startswith("<"):
                 raw.add(co)
-
-    def _pair(co) -> tuple[str, str]:
-        return (os.path.relpath(co.co_filename, _REPO), co.co_name)
-
-    def _referenced_kernels(cos) -> set[tuple[str, str]]:
-        """Module-level engine functions REFERENCED by the traced code
-        objects (one hop through the defining module's globals) — the
-        executor-side-kernel closure (see module docstring)."""
-        import inspect
-
-        out: set[tuple[str, str]] = set()
-        for co in cos:
-            mod = next(
-                (m for m in list(sys.modules.values())
-                 if getattr(m, "__file__", None) == co.co_filename),
-                None,
-            )
-            if mod is None:
-                continue
-            for ref in co.co_names:
-                obj = getattr(mod, ref, None)
-                if (
-                    inspect.isfunction(obj)
-                    and getattr(obj.__code__, "co_filename", "").startswith(_PKG)
-                    and not obj.__name__.startswith("<")
-                ):
-                    out.add(_pair(obj.__code__))
-        return out
 
     traced: dict[str, set[tuple[str, str]]] = {}
     for name, fn in QUERIES.items():
@@ -145,7 +203,7 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
             raise
         finally:
             sys.setprofile(None)
-        traced[name] = {_pair(co) for co in raw} | _referenced_kernels(raw)
+        traced[name] = {_pair(co) for co in raw} | referenced_kernels(raw)
     spark.stop()
     return traced
 
@@ -264,6 +322,45 @@ def _func_touches(pairs: set[tuple[str, str]],
     return touch_after
 
 
+def certified_pair_set(traced, last, passed, bounds, touch_after):
+    """Transitive infra-drift certification core (pure; unit-tested).
+
+    Returns the set of (file, func) pairs whose CURRENT normalized AST
+    some passing driver row has already executed — i.e. there is a
+    round-R green row for a query tracing the pair, and the pair is
+    unchanged since round R's boundary (R not in touch_after[pair]).
+    Whether a pair is ELIGIBLE for certification (infra, traced by
+    >= _INFRA_MIN_SHARE of the registry) is decided separately in
+    ``split_stale`` — eligibility is about trace share, certification
+    about evidence."""
+    certified: set[tuple[str, str]] = set()
+    for q2, pairs in traced.items():
+        r2 = last.get(q2, 0)
+        if not r2 or r2 not in bounds or not passed.get(q2):
+            continue
+        for pair in pairs:
+            if r2 not in touch_after.get(pair, ()):
+                certified.add(pair)
+    return certified
+
+
+def split_stale(stale_pairs, trace_count, n_queries, certified_pairs):
+    """Split a query's stale pairs into (certified-infra, function-
+    specific).  Pure; unit-tested.  A pair is certified infra only when
+    BOTH conditions hold: traced by >= _INFRA_MIN_SHARE of the registry
+    (same call pattern everywhere — one fresh green row re-validates
+    all) AND present in ``certified_pairs`` (some green row postdates
+    the change).  Everything else stays function-specific and must earn
+    its own driver row."""
+    certified = [
+        p for p in stale_pairs
+        if trace_count.get(p, 0) >= _INFRA_MIN_SHARE * n_queries
+        and p in certified_pairs
+    ]
+    specific = [p for p in stale_pairs if p not in set(certified)]
+    return certified, specific
+
+
 def prescribe(audit: dict, window: int = _WINDOW):
     """Pure ranking core (unit-tested in tests/test_coverage_audit.py).
 
@@ -335,6 +432,9 @@ def build_audit(trace: bool = True) -> dict:
             trace_count[pair] = trace_count.get(pair, 0) + 1
     n_queries = max(len(traced), 1)
 
+    certified_pairs = certified_pair_set(traced, last, passed, bounds,
+                                         touch_after)
+
     audit = {}
     for name, fn in QUERIES.items():
         rnd = last.get(name, 0)
@@ -342,35 +442,56 @@ def build_audit(trace: bool = True) -> dict:
             "last_checked_round": rnd,
             "last_check_passed": passed.get(name),
         }
+        if rnd and rnd not in bounds:
+            # ADVICE r7: a last-checked round with no discovered
+            # boundary commit previously skipped the staleness
+            # comparison SILENTLY, treating the query as fresh.  Mark
+            # it so --check can fail loudly instead.
+            entry["round_boundary_missing"] = True
         if rnd and rnd in bounds:
             stale_pairs = sorted(
                 pair for pair in traced.get(name, ())
                 if rnd in touch_after.get(pair, ())
             )
-            if stale_pairs:
+            certified, specific = split_stale(
+                stale_pairs, trace_count, n_queries, certified_pairs
+            )
+            if certified:
+                entry["infra_certified_since"] = [
+                    f"{relpath}:{func}" for relpath, func in certified
+                ]
+            if specific:
                 entry["touched_since"] = [
-                    f"{relpath}:{func}" for relpath, func in stale_pairs
+                    f"{relpath}:{func}" for relpath, func in specific
                 ]
                 # In which round did the newest invalidating change
                 # land?  stale_for = rounds whose boundary predates
                 # the change, so the change landed in max(stale_for)+1.
                 entry["newest_change_round"] = max(
-                    max(touch_after[pair]) for pair in stale_pairs
+                    max(touch_after[pair]) for pair in specific
                 ) + 1
                 entry["most_specific_share"] = round(
-                    min(trace_count[pair] for pair in stale_pairs)
+                    min(trace_count[pair] for pair in specific)
                     / n_queries,
                     4,
                 )
         audit[name] = entry
 
     never, stale, suggested, overflow = prescribe(audit, _WINDOW)
+    boundary_missing = sorted(
+        n for n, e in audit.items() if e.get("round_boundary_missing")
+    )
     summary = {
         "n_queries": len(audit),
         "n_never_checked": len(never),
         "never_checked": never,
         "n_touched_since_last_check": len(stale),
         "touched_since_last_check": sorted(stale),
+        "n_infra_certified_only": sum(
+            1 for e in audit.values()
+            if e.get("infra_certified_since") and not e.get("touched_since")
+        ),
+        "round_boundary_missing": boundary_missing,
         "stale_overflow_next_round": overflow,
         "round_boundaries": bounds,
         "suggested_priority": suggested,
@@ -395,6 +516,19 @@ def main() -> None:
         # the committed audit with a degraded prescription
         print("--no-trace: COVERAGE_AUDIT.json NOT written (no staleness info)")
     if check:
+        missing_bounds = summary.get("round_boundary_missing") or []
+        if missing_bounds:
+            # ADVICE r7: silently treating these as fresh weakened the
+            # staleness gate — fail loudly instead.
+            print(
+                f"ROUND-BOUNDARY-MISSING: {len(missing_bounds)} queries "
+                f"have a last_checked_round with no 'round N: verdict' "
+                f"boundary commit in git log (regex miss or history "
+                f"rewrite) — staleness cannot be assessed for: "
+                f"{missing_bounds}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         # The actionable invariant: the registry's driver window (front
         # _WINDOW entries after load_all_plans ordering) is exactly the
         # set the audit prescribes — so the most-urgent stale queries
