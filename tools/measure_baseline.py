@@ -202,6 +202,82 @@ def knn_top3_naive(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def minhash_lsh_plain(spark: SparkSession, d: str) -> DataFrame:
+    """Plain MinHash-LSH near-dup (the formulation a plain PySpark user
+    writes from the textbook recipe): explode tokens 16x — one row per
+    (doc, token, permutation) — BEFORE the min-aggregate (the 16x row
+    amplification the engine's ``_minhash_wide`` avoids), long-format
+    signatures, band keys via collect_list, an UNCAPPED band-bucket
+    self-join (no oversized-bucket divert, no df-cap), and an exact
+    Jaccard verify over the full token stream.  Same output contract as
+    ``i4b_minhash_lsh``: (a, b, jaccard) at threshold 0.5."""
+    p = 2_147_483_647
+    docs = load_table(spark, d, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    h = toks.withColumn("h", F.abs(F.hash("token")).cast("long") % p)
+    sig = (
+        h.select(
+            "doc_id",
+            "h",
+            F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("i"),
+        )
+        .withColumn(
+            "mh",
+            ((F.col("i") * 37 + 11) * F.col("h") + (F.col("i") * 104729 + 17))
+            % p,
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("mh").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("i") / F.lit(4)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "_",
+            ).alias("key")
+        )
+    )
+    x = bands.select("band", "key", F.col("doc_id").alias("a"))
+    y = bands.select(
+        F.col("band").alias("band_y"),
+        F.col("key").alias("key_y"),
+        F.col("doc_id").alias("b"),
+    )
+    cand = (
+        x.join(
+            y,
+            (x.band == y.band_y)
+            & (x.key == y.key_y)
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("a"), "token")
+    tb = toks.select(F.col("doc_id").alias("b"), "token")
+    inter = (
+        cand.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"))
+    jacc = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
+
+
 BASELINE_QUERIES = {
     "q1_pricing_summary": q1_plain,
     "q3_topk_join": q3_plain,
@@ -212,6 +288,7 @@ BASELINE_QUERIES = {
     "wordcount": wordcount_plain,
     "cosine_topk": cosine_topk_naive,
     "i6c_quantized_rerank": knn_top3_naive,
+    "i4b_minhash_lsh": minhash_lsh_plain,
 }
 
 
