@@ -65,12 +65,17 @@ HEADLINE = [
     "i4b_minhash_lsh",
 ]
 
-#: A paired plain run slower than this after warmup gets one measured
-#: pair instead of three — at 35-75 s per plain run (naive cosine/kNN/
+#: A paired plain run slower than this after warmup gets two measured
+#: pairs instead of three — at 35-75 s per plain run (naive cosine/kNN/
 #: uncapped LSH at sf0.1) three pairs would triple bench wall-clock for
 #: a ratio that sits at 0.02-0.10x where host noise cannot move the 2x
 #: judgment; sub-10 s queries (where +-30% session noise CAN flip a
-#: 1.4x into a 2.1x) keep the full three-pair treatment.
+#: 1.4x into a 2.1x) keep the full three-pair treatment.  Round 9
+#: (ADVICE r8 + VERDICT r7 stretch 8): the decision now reads the first
+#: MEASURED plain run, not the cold one (a slow cold JIT/shuffle-file
+#: warmup no longer truncates a query whose warm twin is cheap), and
+#: the slow path measures TWO pairs (was one — the weakest noise guard
+#: sat on exactly the naive-twin queries the probe was built to watch).
 _PAIR_BUDGET_SEC = 10.0
 
 
@@ -212,13 +217,19 @@ def main() -> None:
                 t0 = time.perf_counter()
                 engine_fn(spark, sf_dir).collect()
                 dt_e = time.perf_counter() - t0
-                if i == 0 and dt_p > _PAIR_BUDGET_SEC:
-                    rounds = 2
+                if i == 1 and dt_p > _PAIR_BUDGET_SEC:
+                    rounds = 3  # warmup + 2 measured for slow twins
                 if i > 0:
                     plain_min = min(plain_min, dt_p)
                     engine_min = min(engine_min, dt_e)
                     measured += 1
                 i += 1
+            if measured < 3 and name in timings:
+                # Low-sample queries fold in the headline loop's warm
+                # min — a same-session engine sample already paid for —
+                # so the numerator never rests on fewer samples than
+                # the 3-run headline method (ADVICE r8).
+                engine_min = min(engine_min, timings[name])
             if plain_min > 0 and measured:
                 paired_ratios[name] = round(engine_min / plain_min, 3)
                 paired_rounds[name] = measured

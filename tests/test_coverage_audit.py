@@ -165,8 +165,12 @@ def _cert_fixture():
     last = {f"q{i}": 5 for i in range(10)}
     last["q9"] = 7  # q9 got a fresh round-7 green row
     passed = {f"q{i}": True for i in range(10)}
-    bounds = {5: "sha5", 7: "sha7"}
-    # both pairs changed after round 5's boundary but before round 7's
+    bounds = {5: "sha5", 6: "sha6", 7: "sha7"}
+    # both pairs changed after round 5's boundary but before round 6's
+    # — so they already had their current form when round 7 STARTED,
+    # which is what lets q9's round-7 row certify them (ADVICE r8:
+    # certification requires the pair unchanged at both of round R's
+    # endpoints, R-1 and R)
     touch_after = {_INFRA: {5}, _KERNEL: {5}}
     trace_count = {_INFRA: 10, _KERNEL: 2}
     return traced, last, passed, bounds, touch_after, trace_count
@@ -210,6 +214,27 @@ def test_failed_or_stale_rows_do_not_certify():
 def test_row_with_missing_boundary_round_does_not_certify():
     traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
     del bounds[7]  # q9's round has no discovered boundary commit
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _INFRA not in cert
+
+
+def test_mid_round_edit_after_sweep_does_not_certify():
+    """ADVICE r8 (medium): the correctness sweep runs BEFORE the
+    end-of-round boundary commit.  A pair whose change landed DURING
+    round 7 (differs from round 6's boundary, matches round 7's) may
+    postdate the round-7 sweep — a round-7 green row must not certify
+    it."""
+    traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
+    touch_after[_INFRA] = {5, 6}  # landed mid-round-7
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after)
+    assert _INFRA not in cert
+
+
+def test_missing_start_of_round_boundary_does_not_certify():
+    """Without a discovered round R-1 boundary, the code state the
+    round-R sweep saw cannot be bounded — certify nothing."""
+    traced, last, passed, bounds, touch_after, trace_count = _cert_fixture()
+    del bounds[6]  # round 7's START boundary is undiscoverable
     cert = certified_pair_set(traced, last, passed, bounds, touch_after)
     assert _INFRA not in cert
 

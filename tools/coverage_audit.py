@@ -328,7 +328,21 @@ def certified_pair_set(traced, last, passed, bounds, touch_after):
     Returns the set of (file, func) pairs whose CURRENT normalized AST
     some passing driver row has already executed — i.e. there is a
     round-R green row for a query tracing the pair, and the pair is
-    unchanged since round R's boundary (R not in touch_after[pair]).
+    unchanged at BOTH of round R's endpoints: since round R-1's
+    boundary (R-1 in bounds, R-1 not in touch_after[pair]) AND since
+    round R's own boundary (R not in touch_after[pair]).  The R-1
+    requirement is the ADVICE r8 fix: the correctness sweep runs
+    BEFORE the end-of-round boundary commit, so "unchanged since round
+    R's boundary" alone admits an infra edit landing mid-round after
+    the sweep (a common fix-then-snapshot flow) — requiring the pair
+    unchanged since the round STARTED bounds the code state the
+    round-R sweep could actually have seen.  Residual caveat (also
+    ADVICE r8): traces come from the CURRENT working tree, so a call
+    edge added after round R could still route certification through a
+    row that never executed the pair — but adding that edge changes
+    the adding function, which the R-1/R endpoint pair catches for any
+    same-file change; full closure would need per-run trace
+    persistence in CORRECTNESS_r*.json, which past artifacts lack.
     Whether a pair is ELIGIBLE for certification (infra, traced by
     >= _INFRA_MIN_SHARE of the registry) is decided separately in
     ``split_stale`` — eligibility is about trace share, certification
@@ -338,8 +352,14 @@ def certified_pair_set(traced, last, passed, bounds, touch_after):
         r2 = last.get(q2, 0)
         if not r2 or r2 not in bounds or not passed.get(q2):
             continue
+        if (r2 - 1) not in bounds:
+            # No discovered start-of-round boundary (e.g. a round-1
+            # row): the sweep's code state cannot be bounded, so the
+            # row certifies nothing.  Conservative by design.
+            continue
         for pair in pairs:
-            if r2 not in touch_after.get(pair, ()):
+            stale_rounds = touch_after.get(pair, ())
+            if r2 not in stale_rounds and (r2 - 1) not in stale_rounds:
                 certified.add(pair)
     return certified
 

@@ -216,7 +216,10 @@ def minhash_lsh_plain(spark: SparkSession, d: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
-    h = toks.withColumn("h", F.abs(F.hash("token")).cast("long") % p)
+    # pmod, not abs(...)%: abs(Integer.MIN_VALUE) stays negative under
+    # non-ANSI overflow and % keeps the dividend's sign (ADVICE r8) —
+    # pmod keeps h in [0, p) so buckets match the engine's contract.
+    h = toks.withColumn("h", F.pmod(F.hash("token").cast("long"), F.lit(p)))
     sig = (
         h.select(
             "doc_id",
@@ -225,8 +228,11 @@ def minhash_lsh_plain(spark: SparkSession, d: str) -> DataFrame:
         )
         .withColumn(
             "mh",
-            ((F.col("i") * 37 + 11) * F.col("h") + (F.col("i") * 104729 + 17))
-            % p,
+            F.pmod(
+                (F.col("i") * 37 + 11) * F.col("h")
+                + (F.col("i") * 104729 + 17),
+                F.lit(p),
+            ),
         )
         .groupBy("doc_id", "i")
         .agg(F.min("mh").alias("mh"))
