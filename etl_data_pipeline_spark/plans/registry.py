@@ -51,66 +51,64 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 8: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority (tools/coverage_audit.py, VERDICT r7
-    # item 2).  The audit now certifies INFRA-ONLY drift transitively:
-    # a stale pair traced by >=25% of the registry (session confs,
-    # load_table) is certified fresh when any green driver row from a
-    # round at the pair's current AST traces the same pair — so the
-    # r7 221-name overflow collapses to the function-specific residue
-    # (cosine/ANN/kmeans family, rollup_reuse/rolling_median/
-    # trend_slope/c4b, the sql_* subquery family) plus oldest-evidence
-    # rotation.  Registry growth stays FROZEN. -------------------------
-    "rollup_reuse_daily_monthly",
-    "rolling_median",
-    "trend_slope",
-    "c4b_shuffle_hash_hint",
-    "bucketed_join",
-    "dpp_partition_pruned_join",
-    "sql_correlated_subquery",
-    "sql_exists_subquery",
-    "sql_nested_agg_subquery",
-    "sql_q6_revenue",
-    "skew_salted_join",
-    "events_tumbling",
-    "j2_sliding_window",
-    "j4_sessionization_metrics",
-    "cohort_retention",
-    "j3_session_window",
-    "c8b_asof_forward",
-    "event_debounce",
-    "interval_overlap_join",
-    "cosine_topk",
-    "embedding_neardup",
-    "i6b_cosine_topk_hof",
-    "i7_knn",
-    "i8_centroid_classify",
-    "ivf_ann",
-    "ivf_recall",
-    "kmeans_lloyd",
-    "ann_lsh",
-    "ann_multiprobe",
-    "ann_multiprobe_recall",
-    "ann_recall",
-    "hybrid_rrf_search",
-    "i8b_centroid_accuracy",
-    "a10_orc_roundtrip",
-    "a12_zstd_parquet",
-    "a13_compact_small_files",
-    "a14_clustered_layout",
-    "sql_group_by_all",
-    "sql_lateral_topk",
-    "sql_recursive_cte",
-    "a11_text_roundtrip",
-    "a15_file_lineage",
-    "a16_fixed_width",
-    "a9_python_datasource",
-    "h7_variant",
-    "h8_xml_extract",
-    "k5_arrow_udf",
-    "k6_map_in_arrow",
-    "k7_cogroup_asof",
-    "k8_grouped_agg_udaf",
+    # -- round 9: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority (tools/coverage_audit.py).  The r8
+    # function-specific residue is fully drained; this window is the
+    # oldest-evidence rotation cohort (r2-era text/vector evidence:
+    # i9_multimodal_join, embedding_clip_stats, the text-analysis
+    # family, ...) leading the 118-name stale overflow.  Certification
+    # now requires a pair unchanged at BOTH round endpoints (ADVICE
+    # r8).  Registry growth stays FROZEN until the overflow drains. ----
+    "i9_multimodal_join",
+    "embedding_clip_stats",
+    "vector_centroids",
+    "doc_fingerprint",
+    "i2_text_stats",
+    "i3_exact_dedup",
+    "i5_tfidf_topterms",
+    "lang_id",
+    "quality_score",
+    "simhash_fingerprint",
+    "token_count_est",
+    "wordcount",
+    "script_ratio",
+    "pmi_bigrams",
+    "source_kl_divergence",
+    "bigram_lm_score",
+    "bm25_topk",
+    "containment_df_stats",
+    "lang_id_confusion",
+    "token_entropy",
+    "unigram_lm_score",
+    "chunk_overlap",
+    "decontaminate",
+    "frequent_ngrams",
+    "global_shuffle",
+    "gopher_repetition",
+    "mixture_report",
+    "mixture_sample",
+    "pack_greedy",
+    "pack_sequences",
+    "redact_pii",
+    "segment_dedup",
+    "simhash_neardup",
+    "stratified_sample",
+    "text_normalize",
+    "incremental_dedup",
+    "dedup_survivorship",
+    "pps_systematic_sample",
+    "weighted_sample_topk",
+    "c2_left_join",
+    "c4_broadcast_join",
+    "d2_global_agg",
+    "d6_filtered_agg",
+    "merge_upsert",
+    "a4_partitioned_write",
+    "a8_dynamic_partition_overwrite",
+    "c2_right_join",
+    "incremental_merge",
+    "runtime_bloom_join",
+    "tpch_q14_promo_share",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -14,6 +14,17 @@ Also useful as a parallelism-determinism probe: ``... sf0.01 7
 local[4]`` re-checks every oracle under an odd partitioning/core count
 (271/0/0 on 2026-08-14, alongside sf0.001 x 32 and the standing sf0.01
 x 8 emulator — three regimes, identical hashes).
+
+Fourth regime (VERDICT r8 item 1): ``... sf0.001 8
+local-cluster[2,4,4096]`` runs every query under REAL separate
+executor JVMs — the only locally-available mode that exercises closure
+serialization, broadcast transport, and executor-side module import
+(kernels are module-level functions resolved by import on the
+executor's Python workers), a failure class ``local[*]`` structurally
+cannot surface because driver and executor share one JVM/interpreter.
+Must run as a DEDICATED subprocess: the r8 attempt built the session
+during interpreter teardown and died with 'Shutdown hooks cannot be
+modified during shutdown' (executor launch racing JVM exit).
 """
 
 from __future__ import annotations
@@ -44,12 +55,20 @@ def value_hash(pdf) -> str:
 
 
 def main() -> None:
-    spark = (
+    builder = (
         SparkSession.builder.master(MASTER)
         .config("spark.sql.shuffle.partitions", PARTS)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if MASTER.startswith("local-cluster"):
+        # Executor JVMs are separate processes; their Python workers
+        # resolve the engine's module-level kernels by IMPORT, so the
+        # repo root must be on the executor-side PYTHONPATH (the
+        # driver-side sys.path insert above does nothing for them).
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", str(_REPO)
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     from etl_data_pipeline_spark.plans import QUERIES, ORACLES, load_all_plans
 

@@ -1,27 +1,39 @@
 #!/usr/bin/env python
 """Single verification entry point (VERDICT r6 item 5).
 
-Runs, in order, the four gates that previously ran ad hoc, plus the
+Runs, in order, the gates that previously ran ad hoc, plus the
 coverage-window sync check, and exits non-zero on the first failure:
 
   1. driver emulator  — sf0.01, plain local[8] session without engine
      confs (catches loaders that forget ensure_engine_confs): 271
      queries vs their DuckDB oracles, rows + schema + value-hash;
-  2. small-SF stress  — every query at sf0.001 with 32 shuffle
+  2. emulator + reliable checkpoint — the same full pass with
+     ``SPARK_GRAFT_CHECKPOINT_DIR`` set, so the cluster deployment
+     interplay (reliable checkpoint() at cut_lineage points + AQE +
+     persist) is proven continuously, not in one unit test
+     (VERDICT r7 item 4 / r8 item 4);
+  3. small-SF stress  — every query at sf0.001 with 32 shuffle
      partitions (empty-partition / partitioning-determinism regime);
-  3. pytest           — the full unit/property/plan suite;
-  4. bench smoke      — bench.py at sf0.01 with the load gate enabled
+  4. local-cluster stress — every query at sf0.001 under
+     ``local-cluster[2,4,4096]``: real separate executor JVMs, the
+     only local regime exercising closure serialization, broadcast
+     transport, and executor-side module import (VERDICT r8 item 1);
+  5. pytest           — the full unit/property/plan suite;
+  6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
-  5. coverage window  — tools/coverage_audit.py --check: the registry's
-     driver window must match the audit's mechanical prescription.
+  7. coverage window  — tools/coverage_audit.py --check: the registry's
+     driver window must match the audit's mechanical prescription;
+  8. slope audit      — tools/slope_audit.py --check: every query's
+     sf0.01→sf0.1 wall-clock slope; an unexempted superlinear flag
+     fails the gate so a quadratic can't land between rounds
+     (VERDICT r7 item 5 / r8 item 3).
 
 Usage::
 
-    python tools/verify.py            # all gates
-    python tools/verify.py --fast     # skip bench + coverage (1-3 only)
+    python tools/verify.py            # all gates (~55 min quiet host)
+    python tools/verify.py --fast     # gates 1-5 only (~20 min)
 
-Each gate streams its tail on failure.  Wall-clock is ~20 min for the
-full run on a quiet local[32] host.
+Each gate streams its tail on failure.
 """
 
 from __future__ import annotations
@@ -63,7 +75,18 @@ def main() -> None:
     fast = "--fast" in sys.argv
     py = sys.executable
     _run("emulator sf0.01", [py, str(_REPO / ".scratch" / "driver_emulator.py")])
+    _run(
+        "emulator sf0.01 + reliable ckpt",
+        [py, str(_REPO / ".scratch" / "driver_emulator.py")],
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": str(_REPO / ".scratch" / "ckpt_verify")},
+    )
     _run("stress sf0.001x32", [py, str(_REPO / "tools" / "stress_small_sf.py")])
+    _run(
+        "stress local-cluster[2,4,4096]",
+        [py, str(_REPO / "tools" / "stress_small_sf.py"),
+         "/root/testdata/sf0.001", "8", "local-cluster[2,4,4096]"],
+        timeout=3600,
+    )
     _run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     if not fast:
         _run(
@@ -77,6 +100,11 @@ def main() -> None:
         _run(
             "coverage window",
             [py, str(_REPO / "tools" / "coverage_audit.py"), "--check"],
+        )
+        _run(
+            "slope audit",
+            [py, str(_REPO / "tools" / "slope_audit.py"), "--check"],
+            timeout=3600,
         )
     print("ALL GATES GREEN")
 
