@@ -67,6 +67,15 @@ def cut_lineage(df: DataFrame) -> DataFrame:
 
     Reliable ``checkpoint()`` when a checkpoint dir is configured (the
     cluster deployment path); ``localCheckpoint`` otherwise.
+
+    The fallback is NOT executor-loss-safe — localCheckpoint stores
+    its blocks non-replicated on the computing executor with lineage
+    already truncated, so losing that executor kills the job.  Proven
+    by fault injection (tools/chaos_executor_loss.py, round 9):
+    SIGKILLing an executor mid-loop under local-cluster[2,4,4096]
+    fails the no-dir run and completes the
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` run with an identical result hash.
+    On any real cluster, configure the dir.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Executor-loss fault injection under local-cluster (round 9).
+
+The engine's fault-tolerance posture rests on two design decisions made
+in round 7 (SURVEY round-7 record, item 2): multi-consumer reuse points
+use lineage-PRESERVING persist(MEMORY_AND_DISK) — an executor loss
+recomputes the lost blocks instead of killing the job — and iterative
+loops truncate lineage via reliable checkpoint() whenever a checkpoint
+dir is configured.  Eight rounds of local[*] testing could not falsify
+either claim: with driver and executors sharing one JVM there is no
+executor to lose.  This tool actually loses one.
+
+Method: run the target query once for a baseline hash, then re-run it
+in a thread and, mid-flight, SIGKILL one CoarseGrainedExecutorBackend
+JVM (filtered by this session's application id, so concurrent Spark
+sessions on the host are never touched).  The Worker relaunches the
+executor; Spark retries the lost tasks and recomputes any lost
+persisted blocks from lineage.  PASS = the chaos run returns the
+byte-identical row hash with at least one executor verifiably killed
+while the job was still running.
+
+Usage::
+
+    python tools/chaos_executor_loss.py [query] [sf_dir] [kill_after_sec]
+    SPARK_GRAFT_CHECKPOINT_DIR=... python tools/chaos_executor_loss.py
+
+Default query is ``neardup_clusters`` — the iterative large-star/
+small-star components loop over the MinHash-LSH dedup graph: it has
+BOTH a persist() reuse point (the LSH candidate build) and cut_lineage
+truncation points per iteration, and runs ~25 s cold under
+local-cluster[2,4,4096] at sf0.01 — long enough to kill into.
+
+Measured round 9 (2026-08-15), three runs on this host:
+
+- ``SPARK_GRAFT_CHECKPOINT_DIR=... chaos neardup_clusters`` → GREEN:
+  executor SIGKILLed at t=6 s, job completed, hash identical, executor
+  relaunched.  The reliable-checkpoint deployment path survives
+  executor loss end-to-end.
+- ``chaos neardup_clusters`` (no dir) → FAILS by design:
+  ``localCheckpoint`` TRUNCATES lineage and stores its blocks
+  non-replicated on the computing executor, so killing that executor
+  makes the truncation points irrecoverable (Py4JJavaError on the
+  localCheckpoint consumer).  This is documented Spark semantics, not
+  an engine bug — and it is the measured proof of WHY cut_lineage
+  insists on reliable checkpoint() whenever a dir is configured: on
+  any real cluster, set ``SPARK_GRAFT_CHECKPOINT_DIR``.
+- ``chaos i4b_minhash_lsh /root/testdata/sf0.1 2.5`` → GREEN with NO
+  checkpoint dir: the non-iterative dedup path uses only lineage-
+  PRESERVING persist(MEMORY_AND_DISK) (materialize.py), so the lost
+  blocks recompute from lineage exactly as the round-7 design argued
+  (kill at t=2.5 s into a ~5.6 s run, hash identical).
+
+Must run as a DEDICATED process (the local-cluster session-lifecycle
+constraint documented in tools/stress_small_sf.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+os.environ.setdefault("PYTHONPATH", str(_REPO))
+
+QUERY = sys.argv[1] if len(sys.argv) > 1 else "neardup_clusters"
+SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+KILL_AFTER = float(sys.argv[3]) if len(sys.argv) > 3 else 6.0
+
+
+def _rows_hash(rows) -> str:
+    cells = sorted("|".join(repr(v) for v in row) for row in rows)
+    return hashlib.sha256("\n".join(cells).encode()).hexdigest()
+
+
+def _executor_pids(app_id: str) -> list[int]:
+    """PIDs of this application's executor JVMs only (--app-id match)."""
+    out = subprocess.run(
+        ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*{app_id}"],
+        capture_output=True,
+        text=True,
+    ).stdout
+    return [int(p) for p in out.split()]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,4096]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", str(_REPO))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from etl_data_pipeline_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    fn = QUERIES[QUERY]
+
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    mode = f"reliable-checkpoint({ckpt})" if ckpt else "lineage-recompute"
+    print(f"app={app_id} query={QUERY} sf={SF} mode={mode}", flush=True)
+
+    t0 = time.perf_counter()
+    baseline = _rows_hash(fn(spark, SF).collect())
+    base_sec = time.perf_counter() - t0
+    print(f"baseline: {base_sec:.1f}s hash={baseline[:16]}", flush=True)
+    # Drop every cached block so the chaos run rebuilds its persist
+    # points from scratch — otherwise the baseline's cache subsidizes
+    # it and the kill has nothing interesting to destroy.
+    spark.catalog.clearCache()
+
+    result: dict = {}
+
+    def chaos_run() -> None:
+        try:
+            t = time.perf_counter()
+            result["hash"] = _rows_hash(fn(spark, SF).collect())
+            result["sec"] = time.perf_counter() - t
+        except Exception as e:  # noqa: BLE001
+            result["error"] = repr(e)
+
+    th = threading.Thread(target=chaos_run, daemon=True)
+    th.start()
+    time.sleep(KILL_AFTER)
+    if not th.is_alive():
+        print(
+            f"FAIL: job finished in under {KILL_AFTER}s — nothing was "
+            f"running when the kill fired; lower kill_after_sec or use "
+            f"a longer query",
+        )
+        spark.stop()
+        sys.exit(2)
+    pids = _executor_pids(app_id)
+    if not pids:
+        print("FAIL: no executor JVMs found for this app id")
+        spark.stop()
+        sys.exit(2)
+    victim = pids[0]
+    os.kill(victim, signal.SIGKILL)
+    print(
+        f"killed executor pid={victim} at t={KILL_AFTER}s "
+        f"({len(pids)} executors up, job mid-flight)",
+        flush=True,
+    )
+    th.join(timeout=900)
+    if th.is_alive():
+        print("FAIL: chaos run still not finished after 900s")
+        spark.stop()
+        sys.exit(1)
+    if "error" in result:
+        print(f"FAIL: chaos run raised: {result['error']}")
+        spark.stop()
+        sys.exit(1)
+    survivors = _executor_pids(app_id)
+    relaunched = [p for p in survivors if p != victim]
+    match = result["hash"] == baseline
+    print(
+        f"chaos: {result['sec']:.1f}s hash={result['hash'][:16]} "
+        f"match={match} executors_after={len(relaunched)}",
+        flush=True,
+    )
+    spark.stop()
+    if not match:
+        print("FAIL: chaos hash differs from baseline")
+        sys.exit(1)
+    print(f"CHAOS GREEN ({mode}): executor killed mid-job, result identical")
+
+
+if __name__ == "__main__":
+    main()
