@@ -18,6 +18,10 @@ coverage-window sync check, and exits non-zero on the first failure:
      ``local-cluster[2,4,4096]``: real separate executor JVMs, the
      only local regime exercising closure serialization, broadcast
      transport, and executor-side module import (VERDICT r8 item 1);
+  4b. executor-loss chaos — tools/chaos_executor_loss.py with the
+     reliable checkpoint dir set: one executor JVM SIGKILLed mid-query
+     (neardup_clusters, the iterative graph loop), result hash must be
+     byte-identical to the unkilled baseline;
   5. pytest           — the full unit/property/plan suite;
   6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
@@ -86,6 +90,13 @@ def main() -> None:
         [py, str(_REPO / "tools" / "stress_small_sf.py"),
          "/root/testdata/sf0.001", "8", "local-cluster[2,4,4096]"],
         timeout=3600,
+    )
+    _run(
+        "executor-loss chaos (reliable ckpt)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "neardup_clusters", "/root/testdata/sf0.01", "4"],
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": str(_REPO / ".scratch" / "ckpt_chaos")},
+        timeout=1800,
     )
     _run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     if not fast:
