@@ -307,6 +307,15 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Same driver memory as bench.py's engine session: at the 1g
+        # default the naive-kNN/uncapped-LSH twins sit on the GC edge
+        # (observed round 9: one run passed with GCLocker retry
+        # warnings, the identical next run died with Java heap OOM) —
+        # and a GC-thrashing denominator would flatter the engine.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
