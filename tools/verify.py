@@ -18,10 +18,13 @@ coverage-window sync check, and exits non-zero on the first failure:
      ``local-cluster[2,4,4096]``: real separate executor JVMs, the
      only local regime exercising closure serialization, broadcast
      transport, and executor-side module import (VERDICT r8 item 1);
-  4b. executor-loss chaos — tools/chaos_executor_loss.py with the
-     reliable checkpoint dir set: one executor JVM SIGKILLed mid-query
-     (neardup_clusters, the iterative graph loop), result hash must be
-     byte-identical to the unkilled baseline;
+  4b. executor-loss chaos — tools/chaos_executor_loss.py, both
+     fault-tolerance modes: the reliable-checkpoint path
+     (neardup_clusters, the iterative graph loop, checkpoint dir set)
+     and the lineage-recompute path (i4b_minhash_lsh at sf0.1, pure
+     persist, no dir); in each, one executor JVM is SIGKILLed
+     mid-query and the result hash must be byte-identical to the
+     unkilled baseline;
   5. pytest           — the full unit/property/plan suite;
   6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
@@ -96,6 +99,16 @@ def main() -> None:
         [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
          "neardup_clusters", "/root/testdata/sf0.01", "4"],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": str(_REPO / ".scratch" / "ckpt_chaos")},
+        timeout=1800,
+    )
+    _run(
+        "executor-loss chaos (lineage recompute)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "i4b_minhash_lsh", "/root/testdata/sf0.1", "2.5"],
+        # empty = unset (both consumers check truthiness): the lineage
+        # mode must not silently become reliable mode when the caller's
+        # environment happens to carry a checkpoint dir
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
         timeout=1800,
     )
     _run("pytest", [py, "-m", "pytest", "tests/", "-q"])
