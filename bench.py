@@ -180,12 +180,22 @@ def main() -> None:
     # and cancels out (r7's loaded-host artifact still read
     # q1_paired_ratio 1.118 while absolute times were 2-4x off).
     # Round 0 of each pairing is a warmup and dropped; plain twins
-    # slower than _PAIR_BUDGET_SEC get one measured pair instead of
-    # three (see the constant's comment).  Per ADVICE r7, a probe
-    # failure records repr(e) in paired_ratio_errors instead of
-    # silently publishing null.
+    # slower than _PAIR_BUDGET_SEC get two measured pairs instead of
+    # three, decided at the first measured run (see the constant's
+    # comment).  Per ADVICE r7, a probe failure records repr(e) in
+    # paired_ratio_errors instead of silently publishing null.
     paired_ratios: dict[str, float] = {}
     paired_rounds: dict[str, int] = {}
+    # ADVICE r9: when the headline loop's warm min is folded into a
+    # low-sample numerator, the engine side rests on MORE samples than
+    # the plain side (min over more samples is stochastically smaller,
+    # a one-directional bias) and the folded sample predates the
+    # interleaved pairing.  The fold stays — dropping a same-session
+    # sample already paid for would only add variance — but the
+    # asymmetry is DISCLOSED per query: paired_engine_samples counts
+    # the samples the numerator actually rests on (measured + folded),
+    # vs paired_rounds for the denominator.
+    paired_engine_samples: dict[str, int] = {}
     paired_ratio_errors: dict[str, str] = {}
     try:
         import importlib.util
@@ -224,15 +234,21 @@ def main() -> None:
                     engine_min = min(engine_min, dt_e)
                     measured += 1
                 i += 1
+            engine_samples = measured
             if measured < 3 and name in timings:
                 # Low-sample queries fold in the headline loop's warm
                 # min — a same-session engine sample already paid for —
                 # so the numerator never rests on fewer samples than
-                # the 3-run headline method (ADVICE r8).
+                # the 3-run headline method (ADVICE r8).  The headline
+                # warm min is itself a min over 2 warm runs; the
+                # asymmetry vs the plain side is disclosed via
+                # paired_engine_samples (ADVICE r9, see above).
                 engine_min = min(engine_min, timings[name])
+                engine_samples = measured + 2
             if plain_min > 0 and measured:
                 paired_ratios[name] = round(engine_min / plain_min, 3)
                 paired_rounds[name] = measured
+                paired_engine_samples[name] = engine_samples
         except Exception as e:  # a probe must never sink the artifact
             paired_ratio_errors[name] = repr(e)
     q1_paired_ratio = paired_ratios.get("q1_pricing_summary")
@@ -293,6 +309,10 @@ def main() -> None:
     record["load_context"] = {
         "paired_ratios": paired_ratios,
         "paired_rounds_measured": paired_rounds,
+        # numerator sample counts incl. the folded-in headline warm min
+        # (> paired_rounds_measured means the engine side rests on more
+        # samples than the plain side — disclosed bias, ADVICE r9)
+        "paired_engine_samples": paired_engine_samples,
         "paired_ratio_errors": paired_ratio_errors,
         "q1_paired_ratio": q1_paired_ratio,
         "load_gate": load_gate,

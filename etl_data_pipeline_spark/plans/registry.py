@@ -51,64 +51,66 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 9: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority (tools/coverage_audit.py).  The r8
-    # function-specific residue is fully drained; this window is the
-    # oldest-evidence rotation cohort (r2-era text/vector evidence:
-    # i9_multimodal_join, embedding_clip_stats, the text-analysis
-    # family, ...) leading the 118-name stale overflow.  Certification
-    # now requires a pair unchanged at BOTH round endpoints (ADVICE
-    # r8).  Registry growth stays FROZEN until the overflow drains. ----
-    "i9_multimodal_join",
-    "embedding_clip_stats",
-    "vector_centroids",
-    "doc_fingerprint",
-    "i2_text_stats",
-    "i3_exact_dedup",
-    "i5_tfidf_topterms",
-    "lang_id",
-    "quality_score",
-    "simhash_fingerprint",
-    "token_count_est",
-    "wordcount",
-    "script_ratio",
-    "pmi_bigrams",
-    "source_kl_divergence",
-    "bigram_lm_score",
-    "bm25_topk",
-    "containment_df_stats",
-    "lang_id_confusion",
-    "token_entropy",
-    "unigram_lm_score",
-    "chunk_overlap",
-    "decontaminate",
-    "frequent_ngrams",
-    "global_shuffle",
-    "gopher_repetition",
-    "mixture_report",
-    "mixture_sample",
-    "pack_greedy",
-    "pack_sequences",
-    "redact_pii",
-    "segment_dedup",
-    "simhash_neardup",
-    "stratified_sample",
-    "text_normalize",
-    "incremental_dedup",
-    "dedup_survivorship",
-    "pps_systematic_sample",
-    "weighted_sample_topk",
-    "c2_left_join",
-    "c4_broadcast_join",
-    "d2_global_agg",
-    "d6_filtered_agg",
-    "merge_upsert",
-    "a4_partitioned_write",
-    "a8_dynamic_partition_overwrite",
-    "c2_right_join",
-    "incremental_merge",
-    "runtime_bloom_join",
-    "tpch_q14_promo_share",
+    # -- round 10: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  This window drains 50 of the 68-name
+    # oldest-evidence relational overflow (infra-drift-only staleness:
+    # the tpch_q7/17/19/22 four, the d5/e1/g-family, the dq/profile/
+    # pivot warehouse set, then the a/b/c relational core), leaving an
+    # 18-name residue for round 11 — one round from a fully fresh
+    # 271/271 evidence base.  From this round the emulator also records
+    # per-run (file, func, AST-hash) traces (TRACES_r10.json), so these
+    # rows certify exactly the code they executed.  Registry growth
+    # stays FROZEN until the overflow drains. ----
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    "tpch_q7_volume",
+    "cdc_latest_per_key",
+    "d5b_cube",
+    "d5c_grouping_sets",
+    "date_spine",
+    "dq_audit",
+    "histogram_totalprice",
+    "pivot_wide",
+    "scd2_intervals",
+    "stats_corr",
+    "unpivot_long",
+    "d7b_string_agg",
+    "e1b_percent_rank",
+    "e1c_ntile",
+    "g2b_setops_all",
+    "h4b_array_setops",
+    "b5b_try_cast",
+    "d9_mode_bool_agg",
+    "f3_pagination",
+    "profile_table",
+    "dq_fk_orphans",
+    "fuzzy_levenshtein",
+    "rfm_segmentation",
+    "b5c_try_arithmetic",
+    "benford_digit_audit",
+    "d5d_grouping_id",
+    "data_skew_report",
+    "dq_expectations",
+    "e1d_cume_dist_nth",
+    "f2b_topk_with_ties",
+    "skyline_price_size",
+    "table_diff",
+    "weighted_median",
+    "a1_parquet_scan",
+    "a5_nanos_ingest",
+    "b1_project_derive",
+    "b2_filter_predicates",
+    "b3_case_when",
+    "b4_null_handling",
+    "b5_casts",
+    "c1_inner_join",
+    "c2_full_outer_join",
+    "c3_left_anti",
+    "c3_left_semi",
+    "c5_cross_join",
+    "c6_range_join",
+    "c6b_banded_range_join",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

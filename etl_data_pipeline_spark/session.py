@@ -72,13 +72,16 @@ def get_spark(
 ) -> SparkSession:
     """Build (or get) the engine SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (test rig);
-    on a real cluster pass ``None`` via spark-submit and leave master
-    unset in the builder.
+    ``master`` defaults to ``$SPARK_GRAFT_MASTER``, then
+    ``local[$SPARK_GRAFT_CPUS]`` (test rig); on a real cluster pass
+    ``None`` via spark-submit and leave master unset in the builder.
+    The env override exists so timing harnesses (bench.py under
+    ``local-cluster[2,4,4096]``, VERDICT r9 stretch item 8) can switch
+    regimes without a code path of their own.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        master = f"local[{cpus}]"
+        master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
     builder = (
@@ -88,6 +91,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # Executor JVMs are separate processes whose Python workers
+        # resolve module-level kernels by IMPORT — the repo root must
+        # be on the executor-side PYTHONPATH (driver-side sys.path
+        # does nothing for them; see tools/stress_small_sf.py).
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

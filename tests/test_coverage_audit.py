@@ -17,6 +17,7 @@ from coverage_audit import (  # noqa: E402
     certified_pair_set,
     normalized_func_hashes,
     prescribe,
+    recorded_stale_pairs,
     referenced_kernels,
     split_stale,
 )
@@ -237,6 +238,105 @@ def test_missing_start_of_round_boundary_does_not_certify():
     del bounds[6]  # round 7's START boundary is undiscoverable
     cert = certified_pair_set(traced, last, passed, bounds, touch_after)
     assert _INFRA not in cert
+
+
+# --- recorded per-run traces (VERDICT r9 item 4) ----------------------
+#
+# TRACES_r*.json (written by tools/driver_emulator.py --traces-out)
+# records, per green run, exactly which (file, func) pairs each query
+# executed and their normalized-AST hashes at run time.  Both staleness
+# and certification must PREFER a recorded trace over the bounded
+# boundary-commit reconstruction, and fall back when a round has none.
+
+_SESS = ("pkg/session.py", "ensure_confs")
+_OP = ("pkg/op.py", "kern")
+
+
+def _hashes_fixture(current):
+    """current: {relpath: {func: [hashes]}} -> the current_hashes
+    callable the audit passes around."""
+    return lambda relpath: current.get(relpath, {})
+
+
+def test_recorded_stale_none_without_a_trace_for_that_round():
+    assert recorded_stale_pairs(
+        "q0", 7, {}, {_SESS}, _hashes_fixture({})) is None
+    # a trace for a DIFFERENT round does not apply either
+    recorded = {8: {"queries": {"q0": {"pkg/session.py:ensure_confs": ["h"]}}}}
+    assert recorded_stale_pairs(
+        "q0", 7, recorded, {_SESS}, _hashes_fixture({})) is None
+
+
+def test_recorded_trace_exact_staleness():
+    recorded = {7: {"queries": {"q0": {
+        "pkg/session.py:ensure_confs": ["h_sess"],
+        "pkg/op.py:kern": ["h_kern_old"],
+    }}}}
+    current = _hashes_fixture({
+        "pkg/session.py": {"ensure_confs": ["h_sess"]},   # unchanged
+        "pkg/op.py": {"kern": ["h_kern_new"]},            # rewritten
+    })
+    stale = recorded_stale_pairs("q0", 7, recorded, {_SESS, _OP}, current)
+    assert stale == {_OP}
+
+
+def test_recorded_trace_flags_new_call_edges():
+    """A pair the CURRENT trace executes but the recorded run never did
+    is stale — the green row cannot vouch for code it never ran.  This
+    is the exact class the bounded rule's documented residual caveat
+    could only approximate."""
+    recorded = {7: {"queries": {"q0": {
+        "pkg/session.py:ensure_confs": ["h_sess"],
+    }}}}
+    current = _hashes_fixture({
+        "pkg/session.py": {"ensure_confs": ["h_sess"]},
+        "pkg/op.py": {"kern": ["h_kern"]},
+    })
+    stale = recorded_stale_pairs("q0", 7, recorded, {_SESS, _OP}, current)
+    assert stale == {_OP}
+    # and a fully-matching trace is fully fresh
+    recorded[7]["queries"]["q0"]["pkg/op.py:kern"] = ["h_kern"]
+    assert recorded_stale_pairs("q0", 7, recorded, {_SESS, _OP},
+                                current) == set()
+
+
+def test_recorded_trace_certifies_exactly_what_it_ran():
+    """certified_pair_set must prefer the recorded trace: a pair whose
+    recorded hash equals the working tree is certified even where the
+    bounded rule would refuse (here: no round-6 boundary commit at
+    all), and a changed pair is NOT certified even though the bounded
+    rule would have passed it (touch_after says untouched)."""
+    traced = {"q9": {_SESS, _OP}}
+    last, passed = {"q9": 7}, {"q9": True}
+    bounds = {7: "sha7"}  # round 6 missing: bounded rule certifies nothing
+    touch_after = {}      # bounded rule would call both pairs untouched
+    recorded = {7: {"queries": {"q9": {
+        "pkg/session.py:ensure_confs": ["h_sess"],
+        "pkg/op.py:kern": ["h_kern_old"],
+    }}}}
+    current = _hashes_fixture({
+        "pkg/session.py": {"ensure_confs": ["h_sess"]},
+        "pkg/op.py": {"kern": ["h_kern_new"]},
+    })
+    cert = certified_pair_set(traced, last, passed, bounds, touch_after,
+                              recorded=recorded, current_hashes=current)
+    assert _SESS in cert       # recorded == current: exact evidence
+    assert _OP not in cert     # changed since the run: no evidence
+    # without the trace the bounded rule takes over and certifies
+    # nothing (missing start-of-round boundary)
+    assert certified_pair_set(traced, last, passed, bounds, touch_after,
+                              recorded={}, current_hashes=current) == set()
+
+
+def test_recorded_trace_failed_row_still_certifies_nothing():
+    traced = {"q9": {_SESS}}
+    recorded = {7: {"queries": {"q9": {
+        "pkg/session.py:ensure_confs": ["h_sess"]}}}}
+    current = _hashes_fixture({"pkg/session.py": {"ensure_confs": ["h_sess"]}})
+    cert = certified_pair_set(traced, {"q9": 7}, {"q9": False},
+                              {6: "sha6", 7: "sha7"}, {},
+                              recorded=recorded, current_hashes=current)
+    assert cert == set()
 
 
 # --- transitive (multi-hop) executor-kernel tracing (r7 stretch 7) ---

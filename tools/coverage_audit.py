@@ -54,6 +54,20 @@ without this rule one session-conf edit marks all 271 queries stale
 and the 50-slot window takes 4+ rounds to drain pure infra echo
 (exactly what happened in rounds 6-7).
 
+Per-run recorded traces (VERDICT r9 item 4): ``tools/driver_emulator.py
+--traces-out`` persists, per round, every query's traced (file, func)
+pairs with their normalized-AST hashes AT RUN TIME (``TRACES_r*.json``
+at the repo root).  When a query's latest green round has a recorded
+trace, this audit uses it EXACTLY instead of the bounded two-endpoint
+reconstruction: the row is stale iff a recorded pair's hash differs
+from the working tree or the current trace executes a pair the
+recorded run never did, and the row certifies exactly the pairs it
+recorded at their recorded hashes.  This closes the previously
+documented residual hole (a call edge added after round R routing
+certification through a row that never executed the pair) for every
+round that carries a trace artifact; pre-r10 rounds fall back to the
+bounded rule.
+
 Writes COVERAGE_AUDIT.json at the repo root and prints a summary.
 """
 
@@ -322,7 +336,56 @@ def _func_touches(pairs: set[tuple[str, str]],
     return touch_after
 
 
-def certified_pair_set(traced, last, passed, bounds, touch_after):
+def _load_recorded_traces() -> dict[int, dict]:
+    """Load every TRACES_r*.json at the repo root: round -> the trace
+    payload written by ``tools/driver_emulator.py --traces-out``
+    ({"round", "head_sha", "queries": {name: {"file:func": [hashes]}}}).
+    Malformed files are skipped loudly rather than failing the audit —
+    a bad trace must degrade to the bounded rule, never block it."""
+    out: dict[int, dict] = {}
+    for f in sorted(glob.glob(str(_REPO / "TRACES_r*.json"))):
+        try:
+            payload = json.load(open(f))
+            out[int(payload["round"])] = payload
+        except (ValueError, KeyError, json.JSONDecodeError) as exc:
+            print(f"warning: skipping malformed trace {f}: {exc!r}",
+                  file=sys.stderr)
+    return out
+
+
+def _split_pair_str(pair_str: str) -> tuple[str, str]:
+    relpath, _, func = pair_str.rpartition(":")
+    return relpath, func
+
+
+def recorded_stale_pairs(name, rnd, recorded, current_pairs, current_hashes):
+    """EXACT staleness from a recorded per-run trace (pure; unit-tested).
+
+    Returns the set of (file, func) pairs for which query ``name``'s
+    round-``rnd`` green row is NOT evidence under the current working
+    tree, or None when no trace was recorded for (rnd, name) — the
+    caller then falls back to the bounded boundary-commit rule.  A pair
+    is stale when its recorded normalized-AST hashes differ from the
+    working tree's (the code the row validated has changed), or when
+    the CURRENT trace executes a pair the recorded run never did (a new
+    call edge the row cannot vouch for — the exact class the bounded
+    rule could only approximate)."""
+    rec = recorded.get(rnd, {}).get("queries", {}).get(name)
+    if rec is None:
+        return None
+    stale: set[tuple[str, str]] = set()
+    rec_pairs: set[tuple[str, str]] = set()
+    for pair_str, hashes in rec.items():
+        pair = _split_pair_str(pair_str)
+        rec_pairs.add(pair)
+        if current_hashes(pair[0]).get(pair[1], []) != hashes:
+            stale.add(pair)
+    stale |= {p for p in current_pairs if p not in rec_pairs}
+    return stale
+
+
+def certified_pair_set(traced, last, passed, bounds, touch_after,
+                       recorded=None, current_hashes=None):
     """Transitive infra-drift certification core (pure; unit-tested).
 
     Returns the set of (file, func) pairs whose CURRENT normalized AST
@@ -346,11 +409,28 @@ def certified_pair_set(traced, last, passed, bounds, touch_after):
     Whether a pair is ELIGIBLE for certification (infra, traced by
     >= _INFRA_MIN_SHARE of the registry) is decided separately in
     ``split_stale`` — eligibility is about trace share, certification
-    about evidence."""
+    about evidence.
+
+    Recorded-trace preference (VERDICT r9 item 4): when ``recorded``
+    carries a per-run trace for (r2, q2) and ``current_hashes`` is
+    given, the row certifies EXACTLY the pairs whose recorded
+    normalized-AST hashes equal the working tree's — no boundary
+    bounding needed, because the trace states what the run executed and
+    at which code state.  Rounds without traces keep the bounded rule
+    below."""
     certified: set[tuple[str, str]] = set()
     for q2, pairs in traced.items():
         r2 = last.get(q2, 0)
-        if not r2 or r2 not in bounds or not passed.get(q2):
+        if not r2 or not passed.get(q2):
+            continue
+        rec = (recorded or {}).get(r2, {}).get("queries", {}).get(q2)
+        if rec is not None and current_hashes is not None:
+            for pair_str, hashes in rec.items():
+                pair = _split_pair_str(pair_str)
+                if current_hashes(pair[0]).get(pair[1], []) == hashes:
+                    certified.add(pair)
+            continue
+        if r2 not in bounds:
             continue
         if (r2 - 1) not in bounds:
             # No discovered start-of-round boundary (e.g. a round-1
@@ -452,8 +532,20 @@ def build_audit(trace: bool = True) -> dict:
             trace_count[pair] = trace_count.get(pair, 0) + 1
     n_queries = max(len(traced), 1)
 
+    recorded = _load_recorded_traces() if trace else {}
+    _cur_cache: dict[str, dict] = {}
+
+    def _current_hashes(relpath: str) -> dict:
+        if relpath not in _cur_cache:
+            p = Path(_REPO) / relpath
+            _cur_cache[relpath] = (
+                normalized_func_hashes(p.read_text()) if p.exists() else {}
+            )
+        return _cur_cache[relpath]
+
     certified_pairs = certified_pair_set(traced, last, passed, bounds,
-                                         touch_after)
+                                         touch_after, recorded=recorded,
+                                         current_hashes=_current_hashes)
 
     audit = {}
     for name, fn in QUERIES.items():
@@ -462,17 +554,28 @@ def build_audit(trace: bool = True) -> dict:
             "last_checked_round": rnd,
             "last_check_passed": passed.get(name),
         }
-        if rnd and rnd not in bounds:
+        rec_stale = (
+            recorded_stale_pairs(name, rnd, recorded, traced.get(name, ()),
+                                 _current_hashes)
+            if rnd else None
+        )
+        if rnd and rnd not in bounds and rec_stale is None:
             # ADVICE r7: a last-checked round with no discovered
             # boundary commit previously skipped the staleness
             # comparison SILENTLY, treating the query as fresh.  Mark
-            # it so --check can fail loudly instead.
+            # it so --check can fail loudly instead.  A recorded trace
+            # supersedes the boundary commit: staleness is then exact
+            # regardless of git history (VERDICT r9 item 4).
             entry["round_boundary_missing"] = True
-        if rnd and rnd in bounds:
-            stale_pairs = sorted(
-                pair for pair in traced.get(name, ())
-                if rnd in touch_after.get(pair, ())
-            )
+        if rnd and (rnd in bounds or rec_stale is not None):
+            if rec_stale is not None:
+                entry["trace_recorded"] = True
+                stale_pairs = sorted(rec_stale)
+            else:
+                stale_pairs = sorted(
+                    pair for pair in traced.get(name, ())
+                    if rnd in touch_after.get(pair, ())
+                )
             certified, specific = split_stale(
                 stale_pairs, trace_count, n_queries, certified_pairs
             )
@@ -487,11 +590,17 @@ def build_audit(trace: bool = True) -> dict:
                 # In which round did the newest invalidating change
                 # land?  stale_for = rounds whose boundary predates
                 # the change, so the change landed in max(stale_for)+1.
+                # Recorded-trace stale pairs may be absent from
+                # touch_after (e.g. a pair no longer traced from the
+                # current tree) — attribute those to the checked round
+                # itself — and from trace_count (count 0 = maximally
+                # specific, which is the right priority for a pair
+                # whose call edge vanished in a rewrite).
                 entry["newest_change_round"] = max(
-                    max(touch_after[pair]) for pair in specific
+                    max(touch_after.get(pair, {rnd})) for pair in specific
                 ) + 1
                 entry["most_specific_share"] = round(
-                    min(trace_count[pair] for pair in specific)
+                    min(trace_count.get(pair, 0) for pair in specific)
                     / n_queries,
                     4,
                 )

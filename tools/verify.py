@@ -6,7 +6,11 @@ coverage-window sync check, and exits non-zero on the first failure:
 
   1. driver emulator  — sf0.01, plain local[8] session without engine
      confs (catches loaders that forget ensure_engine_confs): 271
-     queries vs their DuckDB oracles, rows + schema + value-hash;
+     queries vs their DuckDB oracles, rows + schema + value-hash; on a
+     green pass it also records every query's per-run (file, func,
+     AST-hash) trace into TRACES_r{next}.json so the coverage audit
+     certifies exactly the code each green row executed (VERDICT r9
+     item 4);
   2. emulator + reliable checkpoint — the same full pass with
      ``SPARK_GRAFT_CHECKPOINT_DIR`` set, so the cluster deployment
      interplay (reliable checkpoint() at cut_lineage points + AQE +
@@ -18,13 +22,16 @@ coverage-window sync check, and exits non-zero on the first failure:
      ``local-cluster[2,4,4096]``: real separate executor JVMs, the
      only local regime exercising closure serialization, broadcast
      transport, and executor-side module import (VERDICT r8 item 1);
-  4b. executor-loss chaos — tools/chaos_executor_loss.py, both
-     fault-tolerance modes: the reliable-checkpoint path
-     (neardup_clusters, the iterative graph loop, checkpoint dir set)
-     and the lineage-recompute path (i4b_minhash_lsh at sf0.1, pure
-     persist, no dir); in each, one executor JVM is SIGKILLed
-     mid-query and the result hash must be byte-identical to the
-     unkilled baseline;
+  4b. executor-loss chaos — tools/chaos_executor_loss.py, all three
+     recovery paths: reliable checkpoint (neardup_clusters, the
+     iterative graph loop, checkpoint dir set), lineage recompute
+     (i4b_minhash_lsh at sf0.1, pure persist, no dir), and plain
+     shuffle/exchange recovery (j4_sessionization_metrics at sf0.1, no
+     persist points at all — the path most of the registry actually
+     uses; VERDICT r9 item 6); in each, one executor JVM is SIGKILLed
+     mid-query (at 50% of the measured baseline wall-time — adaptive,
+     VERDICT r9 item 5) and the result hash must be byte-identical to
+     the unkilled baseline;
   5. pytest           — the full unit/property/plan suite;
   6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
@@ -58,14 +65,25 @@ def _run(name: str, cmd: list[str], env: dict | None = None,
          timeout: int = 900) -> None:
     print(f"=== {name}: {' '.join(cmd)}", flush=True)
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        cmd,
-        cwd=_REPO,
-        env={**os.environ, **(env or {})},
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
+    try:
+        proc = subprocess.run(
+            cmd,
+            cwd=_REPO,
+            env={**os.environ, **(env or {})},
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # ADVICE r9: a hung gate used to surface as a raw traceback
+        # with no output tail — print the gate's captured output and
+        # fail like any other gate instead.
+        for stream in (exc.stdout, exc.stderr):
+            if stream:
+                text = stream.decode() if isinstance(stream, bytes) else stream
+                print(text[-4000:], file=sys.stderr)
+        print(f"FAIL {name} (timeout after {timeout}s)")
+        sys.exit(1)
     dt = time.perf_counter() - t0
     if proc.returncode != 0:
         print(proc.stdout[-4000:])
@@ -78,13 +96,34 @@ def _run(name: str, cmd: list[str], env: dict | None = None,
     print(f"PASS {name} ({dt:.0f}s)", flush=True)
 
 
+def _next_round() -> int:
+    """Round the NEXT correctness artifact will carry: max existing
+    CORRECTNESS_r*.json + 1 — the round the emulator's recorded traces
+    will be evidence for."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(str(_REPO / "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
     py = sys.executable
-    _run("emulator sf0.01", [py, str(_REPO / ".scratch" / "driver_emulator.py")])
+    rnd = _next_round()
+    _run(
+        "emulator sf0.01",
+        [py, str(_REPO / "tools" / "driver_emulator.py"),
+         "--traces-out", str(_REPO / f"TRACES_r{rnd:02d}.json"),
+         "--round", str(rnd)],
+    )
     _run(
         "emulator sf0.01 + reliable ckpt",
-        [py, str(_REPO / ".scratch" / "driver_emulator.py")],
+        [py, str(_REPO / "tools" / "driver_emulator.py")],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": str(_REPO / ".scratch" / "ckpt_verify")},
     )
     _run("stress sf0.001x32", [py, str(_REPO / "tools" / "stress_small_sf.py")])
@@ -97,17 +136,29 @@ def main() -> None:
     _run(
         "executor-loss chaos (reliable ckpt)",
         [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
-         "neardup_clusters", "/root/testdata/sf0.01", "4"],
+         "neardup_clusters", "/root/testdata/sf0.01", "auto"],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": str(_REPO / ".scratch" / "ckpt_chaos")},
         timeout=1800,
     )
     _run(
         "executor-loss chaos (lineage recompute)",
         [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
-         "i4b_minhash_lsh", "/root/testdata/sf0.1", "2.5"],
+         "i4b_minhash_lsh", "/root/testdata/sf0.1", "auto"],
         # empty = unset (both consumers check truthiness): the lineage
         # mode must not silently become reliable mode when the caller's
         # environment happens to carry a checkpoint dir
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
+        timeout=1800,
+    )
+    _run(
+        # VERDICT r9 item 6: both chaos runs above exercise the
+        # text/dedup family's persist/checkpoint recovery; this one
+        # loses an executor under a query with NO persist points —
+        # pure shuffle/exchange + window recovery, the path most of
+        # the registry actually uses.
+        "executor-loss chaos (shuffle recovery)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "j4_sessionization_metrics", "/root/testdata/sf0.1", "auto"],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
         timeout=1800,
     )
