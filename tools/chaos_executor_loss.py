@@ -130,10 +130,25 @@ def main() -> None:
     t0 = time.perf_counter()
     baseline = _rows_hash(fn(spark, SF).collect())
     base_sec = time.perf_counter() - t0
-    kill_after = (0.5 * base_sec if KILL_AFTER == "auto"
+    # The chaos run executes WARM-code / COLD-cache (attempt() clears
+    # the cache first), which for shuffle-only queries is far faster
+    # than the cold baseline (measured j4 at sf0.1: 11.7 s cold,
+    # < 2.9 s warm — a 50%-of-cold kill point fires into a finished
+    # job).  Take a second baseline run in exactly the chaos run's
+    # regime and scale the kill point from THAT.
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    warm_hash = _rows_hash(fn(spark, SF).collect())
+    warm_sec = time.perf_counter() - t0
+    if warm_hash != baseline:
+        print("FAIL: baseline is not deterministic across two runs — "
+              "chaos comparison would be meaningless")
+        spark.stop()
+        sys.exit(1)
+    kill_after = (0.5 * warm_sec if KILL_AFTER == "auto"
                   else float(KILL_AFTER))
-    print(f"baseline: {base_sec:.1f}s hash={baseline[:16]} "
-          f"kill_after={kill_after:.2f}s", flush=True)
+    print(f"baseline: cold {base_sec:.1f}s / warm {warm_sec:.1f}s "
+          f"hash={baseline[:16]} kill_after={kill_after:.2f}s", flush=True)
 
     def attempt(kill_at: float) -> str:
         """One chaos attempt.  Returns 'green' on a verified mid-job
