@@ -786,3 +786,176 @@ def test_lsh_buckets_match_python_mirror(spark, vecs, n_planes):
                 bucket |= 1 << j
         want[i] = bucket
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries kernel guarantees (pure kernel — no Spark): the sketch the
+# heavy_hitters_mg query builds per partition.  For ANY item stream, ANY
+# partitioning, ANY batch size: estimates never exceed true counts, the
+# total undercount is bounded by n/(k+1), and every item with true
+# frequency > n/(k+1) survives the merged summary — the exact invariants
+# the driver-checked query asserts as its found/within_bound flags, here
+# proven over adversarial inputs instead of one dataset.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    items=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=200
+    ),
+    k=st.sampled_from([2, 4, 8]),
+    n_parts=st.sampled_from([1, 2, 4]),
+    batch=st.sampled_from([3, 7, 50]),
+    offset=st.integers(min_value=0, max_value=3),
+)
+def test_misra_gries_merge_guarantees(items, k, n_parts, batch, offset):
+    import pandas as pd
+
+    from etl_data_pipeline_spark.plans.sketches import misra_gries_partial
+
+    parts: list[list[int]] = [[] for _ in range(n_parts)]
+    for i, item in enumerate(items):
+        parts[(i + offset) % n_parts].append(item)
+
+    merged: dict[int, int] = {}
+    for part in parts:
+        batches = (
+            pd.DataFrame({"item": pd.Series(part[i:i + batch], dtype="int64")})
+            for i in range(0, len(part), batch)
+        )
+        (summary,) = misra_gries_partial(batches, k=k)
+        for item, est in zip(summary["item"], summary["est"]):
+            merged[int(item)] = merged.get(int(item), 0) + int(est)
+
+    true: dict[int, int] = {}
+    for item in items:
+        true[item] = true.get(item, 0) + 1
+    n = len(items)
+
+    for item, est in merged.items():
+        assert est > 0, "pruned counters must not be emitted"
+        assert est <= true[item], "MG estimates never exceed true counts"
+        assert (true[item] - est) * (k + 1) <= n, "undercount > n/(k+1)"
+    for item, cnt in true.items():
+        if cnt * (k + 1) > n:  # true heavy hitter
+            assert item in merged, (
+                f"heavy hitter {item} (freq {cnt}, n {n}, k {k}) was lost"
+            )
+        elif item not in merged:
+            # a dropped item's full count is its undercount — still bounded
+            assert cnt * (k + 1) <= n
+
+
+# ---------------------------------------------------------------------------
+# As-of join differential mirror (operators/sessionize.asof_join — the C8
+# triad's backward core): the tagged-union + ordered-carry formulation must
+# equal the declared semantics — for each left row, the right row with the
+# same key and the greatest right_ts <= left_ts, ties on right_ts resolved
+# to the GREATEST payload struct (field-lexicographic; the round-8 total-
+# order fix) — here mirrored with a from-scratch per-row max over tuples,
+# including duplicate timestamps on both sides and keys with no match.
+# ---------------------------------------------------------------------------
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=20),   # ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=20),   # ts
+        st.integers(min_value=-5, max_value=5),   # payload v
+        st.integers(min_value=-5, max_value=5),   # payload u
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+def test_asof_join_matches_bisect_mirror(spark, lrows, rrows):
+    from etl_data_pipeline_spark.operators.sessionize import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    left = spark.createDataFrame(lrows, "k int, lts int, lid int")
+    right = spark.createDataFrame(rrows, "k int, rts int, v int, u int")
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["v", "u"],
+    )
+    got = {
+        r["lid"]: (r["r_v"], r["r_u"]) for r in out.collect()
+    }
+
+    want = {}
+    for k, lts, lid in lrows:
+        cands = [(rts, v, u) for rk, rts, v, u in rrows
+                 if rk == k and rts <= lts]
+        if not cands:
+            want[lid] = (None, None)
+        else:
+            rts, v, u = max(cands)  # max ts, then greatest (v, u) struct
+            want[lid] = (v, u)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sessionize differential mirror (operators/sessionize.sessionize — the
+# J3/J4 batch formulation): gap-based session ids for ANY event layout,
+# millisecond timestamps (timestamp_millis, so the double-cast epoch math
+# is exact and tz-free), duplicate timestamps broken by event_id exactly
+# as the window orders them, and the strict `gap > threshold` boundary.
+# The mirror replays the identical IEEE arithmetic (us/1e6 subtraction)
+# so a boundary-exact gap cannot diverge between engine and mirror.
+# ---------------------------------------------------------------------------
+
+
+SESSION_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # user_id
+        st.integers(min_value=0, max_value=400_000),  # epoch ms
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(events=SESSION_EVENTS)
+def test_sessionize_matches_python_mirror(spark, events):
+    from etl_data_pipeline_spark.operators.sessionize import sessionize
+
+    rows = [(uid, ms, i) for i, (uid, ms) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ms long, event_id int"
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id",
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_minutes=1).collect()
+    }
+
+    want = {}
+    by_uid: dict[int, list] = {}
+    for uid, ms, eid in rows:
+        by_uid.setdefault(uid, []).append((ms, eid))
+    for uid, evs in by_uid.items():
+        evs.sort()
+        prev = None
+        sid = 0
+        for ms, eid in evs:
+            ts_f = float(ms * 1000) / 1e6  # the engine's us/1e6 double
+            if prev is None or (ts_f - prev) > 60.0:
+                sid += 1
+            prev = ts_f
+            want[eid] = sid
+    assert got == want
