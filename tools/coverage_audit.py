@@ -502,7 +502,11 @@ def build_audit(trace: bool = True) -> dict:
     bounds = _round_boundaries()
     last: dict[str, int] = {}
     passed: dict[str, bool] = {}
-    for f in sorted(glob.glob(str(_REPO / "CORRECTNESS_r0*.json"))):
+    # r* not r0*: the artifact names are zero-padded two digits only up
+    # to round 9 — CORRECTNESS_r10.json must not silently fall out of
+    # the evidence base (caught in round 10, one round before it would
+    # have aged every window row back to its pre-r10 evidence).
+    for f in sorted(glob.glob(str(_REPO / "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(f)).items():
             if rnd >= last.get(name, 0):
