@@ -959,3 +959,67 @@ def test_sessionize_matches_python_mirror(spark, events):
             prev = ts_f
             want[eid] = sid
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Time-window ASSIGNMENT mirrors (J1/J2's F.window): epoch-aligned integer
+# arithmetic for arbitrary millisecond timestamps, including exact-boundary
+# events (ts on the hour belongs to the window STARTING there — [start,
+# end) semantics) and the every-event-in-exactly-4-windows invariant of a
+# 1h/15min slide.  Guards the boundary-inclusivity class the driver data
+# cannot pin (nanosecond event times never land exactly on a boundary).
+# ---------------------------------------------------------------------------
+
+
+WINDOW_MS = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=20_000_000),
+        # force exact-hour and exact-slide boundaries into every run
+        st.sampled_from([0, 3_600_000, 7_200_000, 900_000, 1_800_000]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(ms_list=WINDOW_MS)
+def test_tumbling_window_assignment_matches_integer_grid(spark, ms_list):
+    rows = [(i, ms) for i, ms in enumerate(ms_list)]
+    df = spark.createDataFrame(rows, "eid int, ms long").select(
+        "eid", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    got = {
+        r["eid"]: r["start_ms"]
+        for r in df.select(
+            "eid",
+            F.unix_millis(F.window("ts", "1 hour").start).alias("start_ms"),
+        ).collect()
+    }
+    want = {eid: (ms // 3_600_000) * 3_600_000 for eid, ms in rows}
+    assert got == want
+
+
+@SLOW
+@given(ms_list=WINDOW_MS)
+def test_sliding_window_counts_match_enumeration(spark, ms_list):
+    rows = [(i, ms) for i, ms in enumerate(ms_list)]
+    df = spark.createDataFrame(rows, "eid int, ms long").select(
+        "eid", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    got = {
+        r["start_ms"]: r["n"]
+        for r in df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("start_ms"), "n")
+        .collect()
+    }
+    want: dict[int, int] = {}
+    for _, ms in rows:
+        slide = ms // 900_000
+        starts = [k * 900_000 for k in range(slide - 3, slide + 1)]
+        assert all(s <= ms < s + 3_600_000 for s in starts)
+        assert len(starts) == 4  # every event in exactly 4 windows
+        for s in starts:
+            want[s] = want.get(s, 0) + 1
+    assert got == want
