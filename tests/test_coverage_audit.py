@@ -328,6 +328,36 @@ def test_recorded_trace_certifies_exactly_what_it_ran():
                               recorded={}, current_hashes=current) == set()
 
 
+def test_unhashable_class_body_pair_is_neither_stale_nor_evidence():
+    """A profiled class body has no def for the AST hasher to see —
+    its hash list is empty on both sides.  [] == [] must not read as
+    freshness evidence (certification) nor as staleness (it would churn
+    the window forever); class-body edits are caught by the file's
+    <module-prelude> pair."""
+    klass = ("pkg/op.py", "SomeClass")
+    recorded = {7: {"queries": {"q0": {
+        "pkg/session.py:ensure_confs": ["h_sess"],
+        "pkg/op.py:SomeClass": [],
+    }}}}
+    current = _hashes_fixture({
+        "pkg/session.py": {"ensure_confs": ["h_sess"]},
+        "pkg/op.py": {},  # class bodies never appear in func hashes
+    })
+    stale = recorded_stale_pairs("q0", 7, recorded, {_SESS, klass}, current)
+    assert stale == set()  # not stale...
+    cert = certified_pair_set({"q0": {_SESS, klass}}, {"q0": 7},
+                              {"q0": True}, {}, {},
+                              recorded=recorded, current_hashes=current)
+    assert klass not in cert  # ...and not evidence either
+    assert _SESS in cert
+    # an unhashable pair that only shows up in the CURRENT trace (e.g.
+    # after the emulator started dropping them at record time) is not a
+    # "new call edge" — the prelude covers it
+    recorded[7]["queries"]["q0"].pop("pkg/op.py:SomeClass")
+    assert recorded_stale_pairs("q0", 7, recorded, {_SESS, klass},
+                                current) == set()
+
+
 def test_recorded_trace_failed_row_still_certifies_nothing():
     traced = {"q9": {_SESS}}
     recorded = {7: {"queries": {"q9": {

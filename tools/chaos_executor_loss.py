@@ -173,6 +173,14 @@ def main() -> None:
         th.start()
         time.sleep(kill_at)
         if not th.is_alive():
+            if "error" in result:
+                # The thread died on a query exception, not an early
+                # finish — retrying would chase a timing problem that
+                # does not exist (review finding, round 10).
+                print(f"FAIL: chaos run raised before the kill fired: "
+                      f"{result['error']}")
+                spark.stop()
+                sys.exit(1)
             print(f"retryable: job finished in under {kill_at:.2f}s — "
                   f"nothing was running when the kill would have fired")
             return "early"

@@ -188,16 +188,16 @@ def referenced_kernels(cos, pkg_prefix: str = _PKG) -> set[tuple[str, str]]:
     return out
 
 
-def _trace_functions() -> dict[str, set[tuple[str, str]]]:
-    """Profile each query's plan construction; return the set of engine
-    (relpath, function) pairs it executed on the driver."""
-    from etl_data_pipeline_spark.session import get_spark
-
-    sf_dir = os.environ.get("SPARK_GRAFT_TRACE_SF", "/root/testdata/sf0.001")
-    spark = get_spark(app_name="coverage-audit-trace")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    raw: set = set()  # code objects, resolved to pairs after the loop
+def trace_query_pairs(fn, spark, sf_dir: str) -> set[tuple[str, str]]:
+    """Profile ONE query's plan construction and return the engine
+    (relpath, func) pairs it executed on the driver, plus the
+    transitive executor-kernel closure and the module preludes of every
+    traced file.  This is THE trace definition: shared by the audit's
+    ``_trace_functions`` below and the emulator's ``--traces-out``
+    recording (tools/driver_emulator.py), so recorded traces and
+    current-tree traces can never diverge by construction (round-10
+    review finding: the loop used to be duplicated in both files)."""
+    raw: set = set()
 
     def prof(frame, event, arg):
         if event == "call":
@@ -205,19 +205,33 @@ def _trace_functions() -> dict[str, set[tuple[str, str]]]:
             if co.co_filename.startswith(_PKG) and not co.co_name.startswith("<"):
                 raw.add(co)
 
+    sys.setprofile(prof)
+    try:
+        fn(spark, sf_dir)
+    finally:
+        sys.setprofile(None)
+    pairs = {_pair(co) for co in raw} | referenced_kernels(raw)
+    pairs |= {(relpath, _MODULE_PRELUDE) for relpath, _ in pairs}
+    return pairs
+
+
+def _trace_functions() -> dict[str, set[tuple[str, str]]]:
+    """Profile each query's plan construction; return the set of engine
+    (relpath, function) pairs it executed on the driver (incl. kernel
+    closure and module preludes — see trace_query_pairs)."""
+    from etl_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TRACE_SF", "/root/testdata/sf0.001")
+    spark = get_spark(app_name="coverage-audit-trace")
+    spark.sparkContext.setLogLevel("ERROR")
+
     traced: dict[str, set[tuple[str, str]]] = {}
     for name, fn in QUERIES.items():
-        raw.clear()
-        sys.setprofile(prof)
         try:
-            fn(spark, sf_dir)
+            traced[name] = trace_query_pairs(fn, spark, sf_dir)
         except Exception as exc:  # plan construction must not fail
-            sys.setprofile(None)
             print(f"TRACE FAILURE for {name}: {exc!r}", file=sys.stderr)
             raise
-        finally:
-            sys.setprofile(None)
-        traced[name] = {_pair(co) for co in raw} | referenced_kernels(raw)
     spark.stop()
     return traced
 
@@ -347,7 +361,12 @@ def _load_recorded_traces() -> dict[int, dict]:
         try:
             payload = json.load(open(f))
             out[int(payload["round"])] = payload
-        except (ValueError, KeyError, json.JSONDecodeError) as exc:
+        except (ValueError, KeyError, TypeError, OSError,
+                json.JSONDecodeError) as exc:
+            # TypeError: valid JSON of the wrong shape (array/string
+            # top level); OSError: unreadable file — both must degrade
+            # to the bounded rule, never crash the audit (round-10
+            # review finding).
             print(f"warning: skipping malformed trace {f}: {exc!r}",
                   file=sys.stderr)
     return out
@@ -378,9 +397,22 @@ def recorded_stale_pairs(name, rnd, recorded, current_pairs, current_hashes):
     for pair_str, hashes in rec.items():
         pair = _split_pair_str(pair_str)
         rec_pairs.add(pair)
-        if current_hashes(pair[0]).get(pair[1], []) != hashes:
+        now = current_hashes(pair[0]).get(pair[1], [])
+        if not hashes and not now:
+            # Unhashable pair (a profiled class body — the AST hasher
+            # only sees defs): [] == [] is vacuous, never evidence and
+            # never staleness; edits to a class body are caught by its
+            # file's <module-prelude> pair (round-10 review finding).
+            continue
+        if now != hashes:
             stale.add(pair)
-    stale |= {p for p in current_pairs if p not in rec_pairs}
+    # A pair the CURRENT trace executes but the recorded run never did
+    # is stale — unless it is unhashable (class body), which the
+    # prelude covers.
+    stale |= {
+        p for p in current_pairs
+        if p not in rec_pairs and current_hashes(p[0]).get(p[1], [])
+    }
     return stale
 
 
@@ -427,7 +459,10 @@ def certified_pair_set(traced, last, passed, bounds, touch_after,
         if rec is not None and current_hashes is not None:
             for pair_str, hashes in rec.items():
                 pair = _split_pair_str(pair_str)
-                if current_hashes(pair[0]).get(pair[1], []) == hashes:
+                # truthy hashes required: an unhashable class-body pair
+                # ([] == []) must never certify anything (round-10
+                # review finding)
+                if hashes and current_hashes(pair[0]).get(pair[1], []) == hashes:
                     certified.add(pair)
             continue
         if r2 not in bounds:
@@ -514,11 +549,9 @@ def build_audit(trace: bool = True) -> dict:
                 passed[name] = _row_passed(row)
 
     traced = _trace_functions() if trace else {}
-    # A query is invalidated by its traced functions AND by the module
-    # preludes of the files they live in (module-level constants such
-    # as shared oracle SQL or the session's RUNTIME_CONFS).
-    for name, pairs in traced.items():
-        pairs |= {(relpath, _MODULE_PRELUDE) for relpath, _ in pairs}
+    # trace_query_pairs already includes the module preludes of every
+    # traced file (module-level constants such as shared oracle SQL or
+    # the session's RUNTIME_CONFS invalidate their file's queries).
     all_pairs: set[tuple[str, str]] = set()
     for pairs in traced.values():
         all_pairs |= pairs

@@ -96,11 +96,8 @@ def _record_traces(qs, spark, sf_dir: str, out_path: str, rnd: int) -> None:
     profiler can see (executor-side kernels are covered by the
     referenced-kernels closure)."""
     from tools.coverage_audit import (
-        _MODULE_PRELUDE,
-        _PKG,
-        _pair,
         normalized_func_hashes,
-        referenced_kernels,
+        trace_query_pairs,
     )
 
     head = subprocess.run(
@@ -117,27 +114,17 @@ def _record_traces(qs, spark, sf_dir: str, out_path: str, rnd: int) -> None:
             )
         return file_hashes[relpath]
 
-    raw: set = set()
-
-    def prof(frame, event, arg):
-        if event == "call":
-            co = frame.f_code
-            if co.co_filename.startswith(_PKG) and not co.co_name.startswith("<"):
-                raw.add(co)
-
     queries_out: dict[str, dict[str, list[str]]] = {}
     for name in sorted(qs):
-        raw.clear()
-        sys.setprofile(prof)
-        try:
-            qs[name](spark, sf_dir)
-        finally:
-            sys.setprofile(None)
-        pairs = {_pair(co) for co in raw} | referenced_kernels(raw)
-        pairs |= {(relpath, _MODULE_PRELUDE) for relpath, _ in pairs}
+        pairs = trace_query_pairs(qs[name], spark, sf_dir)
+        # Unhashable pairs (profiled class bodies — the AST hasher only
+        # sees defs) are dropped: an empty hash list would compare
+        # vacuously fresh forever; class-body edits are caught by the
+        # file's <module-prelude> pair, which is always recorded.
         queries_out[name] = {
-            f"{relpath}:{func}": _hashes_for(relpath).get(func, [])
+            f"{relpath}:{func}": hashes
             for relpath, func in sorted(pairs)
+            if (hashes := _hashes_for(relpath).get(func, []))
         }
     payload = {"round": rnd, "head_sha": head, "queries": queries_out}
     with open(out_path, "w") as fh:

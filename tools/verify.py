@@ -103,7 +103,16 @@ def _run(name: str, cmd: list[str], env: dict | None = None,
 def _next_round() -> int:
     """Round the NEXT correctness artifact will carry: max existing
     CORRECTNESS_r*.json + 1 — the round the emulator's recorded traces
-    will be evidence for."""
+    will be evidence for.
+
+    Caveat (round-10 review): a verify run EARLY in round N records
+    TRACES_rN from that moment's tree; if engine code then changes and
+    verify is never re-run, round N's driver sweep runs newer code than
+    the trace recorded, and next round's audit will flag the drifted
+    pairs stale (conservative churn, never false certification).  The
+    README round-close checklist therefore mandates a verify run at
+    round close — each run overwrites TRACES_rN, so the LAST one before
+    the snapshot is the one that ships."""
     import glob
     import re
 
