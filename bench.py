@@ -138,6 +138,30 @@ def _wait_for_quiet_host() -> dict:
     }
 
 
+def compact_summary_line(record: dict) -> str:
+    """One-line tail-proof summary printed AFTER the full record.
+
+    The driver's artifact capture is a bounded TAIL of stdout;
+    BENCH_r10.json lost the headline total and q1 to front-truncation
+    because the growing ``load_context`` block pushed them out of the
+    window (VERDICT r10 item 3).  The LAST line therefore always
+    carries the headline numbers in a compact, fixed-shape JSON object
+    — total + per-query seconds + validity + paired ratios — so any
+    tail capture that retains even one full line retains the round's
+    official numbers.  Format pinned by tests/test_bench_contract.py.
+    """
+    return json.dumps(
+        {
+            "bench_summary": True,
+            "total": record["value"],
+            "sf": record["sf"],
+            "headline_valid": record["headline_valid"],
+            "queries": record["queries"],
+            "paired_ratios": record["load_context"]["paired_ratios"],
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_gate = _wait_for_quiet_host()
@@ -242,9 +266,13 @@ def main() -> None:
                 # the 3-run headline method (ADVICE r8).  The headline
                 # warm min is itself a min over 2 warm runs; the
                 # asymmetry vs the plain side is disclosed via
-                # paired_engine_samples (ADVICE r9, see above).
-                engine_min = min(engine_min, timings[name])
-                engine_samples = measured + 2
+                # paired_engine_samples — which only counts the +2 when
+                # the fold actually LOWERED the numerator (ADVICE r10:
+                # a fold that didn't win contributes no samples to the
+                # published ratio, so claiming them misdescribes it).
+                if timings[name] < engine_min:
+                    engine_min = timings[name]
+                    engine_samples = measured + 2
             if plain_min > 0 and measured:
                 paired_ratios[name] = round(engine_min / plain_min, 3)
                 paired_rounds[name] = measured
@@ -323,6 +351,7 @@ def main() -> None:
         "session_start_sec": session_start_sec,
     }
     print(json.dumps(record))
+    print(compact_summary_line(record))
     spark.stop()
 
 

@@ -51,66 +51,64 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 10: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  This window drains 50 of the 68-name
-    # oldest-evidence relational overflow (infra-drift-only staleness:
-    # the tpch_q7/17/19/22 four, the d5/e1/g-family, the dq/profile/
-    # pivot warehouse set, then the a/b/c relational core), leaving an
-    # 18-name residue for round 11 — one round from a fully fresh
-    # 271/271 evidence base.  From this round the emulator also records
-    # per-run (file, func, AST-hash) traces (TRACES_r10.json), so these
-    # rows certify exactly the code they executed.  Registry growth
-    # stays FROZEN until the overflow drains. ----
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    "tpch_q7_volume",
-    "cdc_latest_per_key",
-    "d5b_cube",
-    "d5c_grouping_sets",
-    "date_spine",
-    "dq_audit",
-    "histogram_totalprice",
-    "pivot_wide",
-    "scd2_intervals",
-    "stats_corr",
-    "unpivot_long",
-    "d7b_string_agg",
-    "e1b_percent_rank",
-    "e1c_ntile",
-    "g2b_setops_all",
-    "h4b_array_setops",
-    "b5b_try_cast",
-    "d9_mode_bool_agg",
-    "f3_pagination",
-    "profile_table",
-    "dq_fk_orphans",
-    "fuzzy_levenshtein",
-    "rfm_segmentation",
-    "b5c_try_arithmetic",
-    "benford_digit_audit",
-    "d5d_grouping_id",
-    "data_skew_report",
-    "dq_expectations",
-    "e1d_cume_dist_nth",
-    "f2b_topk_with_ties",
-    "skyline_price_size",
-    "table_diff",
-    "weighted_median",
-    "a1_parquet_scan",
-    "a5_nanos_ingest",
-    "b1_project_derive",
-    "b2_filter_predicates",
-    "b3_case_when",
-    "b4_null_handling",
-    "b5_casts",
-    "c1_inner_join",
-    "c2_full_outer_join",
-    "c3_left_anti",
-    "c3_left_semi",
-    "c5_cross_join",
-    "c6_range_join",
-    "c6b_banded_range_join",
+    # -- round 11: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  The first 18 names are the final
+    # stale-evidence residue from the 68-name relational overflow (all
+    # infra-drift-only, trace-certified in r10); once this window goes
+    # green every one of the 271 registered queries has post-trace-era
+    # driver evidence.  The remaining 32 slots re-check the next-oldest
+    # cohort: the r2-era io/udf surface, the r5-r8 tpch remainder, the
+    # multimodal decoders, and the streaming sliding window. ----
+    "d5_rollup",
+    "d7_collect_list_str",
+    "d8_percentiles",
+    "e2_lag_lead",
+    "e3_running_frames",
+    "f1_multi_sort",
+    "f2_topk",
+    "g1_union",
+    "g1b_union_distinct",
+    "g2_intersect_except",
+    "g3_dedup_rows",
+    "g3b_dedup_subset_keepmin",
+    "window_rank",
+    "c10_null_aware_anti",
+    "e3b_interval_frame",
+    "g1c_union_missing_cols",
+    "d10_bitwise_agg",
+    "pareto_abc",
+    "a2_csv_roundtrip",
+    "a3_jsonl_roundtrip",
+    "a6_schema_evolution",
+    "a7_csv_malformed",
+    "k1_scalar_udf",
+    "k2_pandas_udf_norm",
+    "k3_grouped_zscore",
+    "k4_udtf",
+    "a17_zorder_layout",
+    "c9_nullsafe_join",
+    "d4_approx_distinct",
+    "d8b_percentile_approx",
+    "ewma_smooth",
+    "j12_stream_sliding",
+    "mm_decode_image",
+    "mm_decode_video",
+    "mm_features",
+    "mm_frame_sample",
+    "tpch_q10_returned_topk",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q20_excess_share",
+    "tpch_q21_waiting",
+    "tpch_q2_min_cost",
+    "tpch_q4_exists",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "bloom_membership",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -96,10 +96,13 @@ def get_spark(
         # resolve module-level kernels by IMPORT — the repo root must
         # be on the executor-side PYTHONPATH (driver-side sys.path
         # does nothing for them; see tools/stress_small_sf.py).
-        builder = builder.config(
-            "spark.executorEnv.PYTHONPATH",
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
+        # Append the caller's PYTHONPATH after the repo root rather
+        # than clobbering it, so executor-side imports of non-repo
+        # deps the caller exported keep resolving (ADVICE r10).
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        caller_pp = os.environ.get("PYTHONPATH", "")
+        exec_pp = os.pathsep.join([repo_root, caller_pp]) if caller_pp else repo_root
+        builder = builder.config("spark.executorEnv.PYTHONPATH", exec_pp)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

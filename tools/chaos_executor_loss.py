@@ -214,7 +214,7 @@ def main() -> None:
             print(f"retryable: chaos run took {result['sec']:.2f}s but "
                   f"the kill landed at {kill_delta:.2f}s — job was "
                   f"already done; kill did not exercise recovery")
-            return "early"
+            return "early-post-kill"
         survivors = _executor_pids(app_id)
         relaunched = [p for p in survivors if p != victim]
         match = result["hash"] == baseline
@@ -229,10 +229,33 @@ def main() -> None:
             sys.exit(1)
         return "green"
 
+    def _wait_full_cluster(expected: int, timeout: float = 120.0) -> None:
+        """Block until the app's executor count recovers to ``expected``.
+
+        ADVICE r10: after a post-kill 'early' result an executor has
+        already been SIGKILLed; retrying immediately would measure the
+        retry's warm-time assumption and kill point against a degraded
+        1-executor cluster while the replacement JVM is still
+        relaunching — making the retry more likely to time out or
+        mis-aim.  Bounded wait: if the master never refills the slot,
+        proceed anyway and let the retry's own assertions decide."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < timeout:
+            if len(_executor_pids(app_id)) >= expected:
+                print(f"cluster back to {expected} executors "
+                      f"({time.perf_counter() - t0:.1f}s)", flush=True)
+                return
+            time.sleep(1.0)
+        print(f"warning: executor count still below {expected} after "
+              f"{timeout:.0f}s — retrying on a degraded cluster", flush=True)
+
+    n_exec_full = len(_executor_pids(app_id))
     status = attempt(kill_after)
-    if status == "early":
+    if status.startswith("early"):
         # One retry at half the delay: a warm run beating the cold
         # baseline's 50% mark is the common early-finish cause.
+        if status == "early-post-kill":
+            _wait_full_cluster(n_exec_full)
         status = attempt(kill_after / 2)
     spark.stop()
     if status != "green":

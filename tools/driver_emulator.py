@@ -94,11 +94,31 @@ def _record_traces(qs, spark, sf_dir: str, out_path: str, rnd: int) -> None:
     query, stamped with HEAD.  Plan construction only, matching the
     audit's trace semantics: execution adds no engine frames the
     profiler can see (executor-side kernels are covered by the
-    referenced-kernels closure)."""
+    referenced-kernels closure).
+
+    Regime alignment (ADVICE r10): the correctness loop above runs a
+    deliberately PLAIN session at --sf-dir, but the audit's own trace
+    pass runs under engine confs at ``$SPARK_GRAFT_TRACE_SF`` (default
+    sf0.001) — a conf- or sf-dependent plan-construction branch would
+    make the audit's new-call-edge rule flag every trace-recorded row
+    stale on every audit.  So THIS pass applies the engine confs to the
+    session and traces at the audit's sf before profiling; ``sf_dir``
+    is only the fallback when that dir is absent.  (Master/parallelism
+    cannot be realigned on a live session; plan construction does not
+    branch on them — all engine branch points are SQL confs or data
+    paths.)"""
+    import os
+
+    from etl_data_pipeline_spark.session import ensure_engine_confs
     from tools.coverage_audit import (
         normalized_func_hashes,
         trace_query_pairs,
     )
+
+    ensure_engine_confs(spark)
+    trace_sf = os.environ.get("SPARK_GRAFT_TRACE_SF", "/root/testdata/sf0.001")
+    if Path(trace_sf).is_dir():
+        sf_dir = trace_sf
 
     head = subprocess.run(
         ["git", "-C", str(_REPO), "rev-parse", "HEAD"],

@@ -48,8 +48,13 @@ coverage-window sync check, and exits non-zero on the first failure:
 
 Usage::
 
-    python tools/verify.py            # all gates (~55 min quiet host)
-    python tools/verify.py --fast     # gates 1-5 only (~20 min)
+    python tools/verify.py               # all gates (~55 min quiet host)
+    python tools/verify.py --fast        # gates 1-5 only (~20 min)
+    python tools/verify.py --round-start # gate 1 only, re-stamping the
+                                         # JUST-CLOSED round's traces —
+                                         # run FIRST thing each round,
+                                         # before any engine edit
+    python tools/verify.py --round N     # pin the trace round stamp
 
 Each gate streams its tail on failure.
 """
@@ -100,19 +105,9 @@ def _run(name: str, cmd: list[str], env: dict | None = None,
     print(f"PASS {name} ({dt:.0f}s)", flush=True)
 
 
-def _next_round() -> int:
-    """Round the NEXT correctness artifact will carry: max existing
-    CORRECTNESS_r*.json + 1 — the round the emulator's recorded traces
-    will be evidence for.
-
-    Caveat (round-10 review): a verify run EARLY in round N records
-    TRACES_rN from that moment's tree; if engine code then changes and
-    verify is never re-run, round N's driver sweep runs newer code than
-    the trace recorded, and next round's audit will flag the drifted
-    pairs stale (conservative churn, never false certification).  The
-    README round-close checklist therefore mandates a verify run at
-    round close — each run overwrites TRACES_rN, so the LAST one before
-    the snapshot is the one that ships."""
+def _closed_round() -> int:
+    """Max round with a CORRECTNESS_r*.json artifact — the round the
+    driver has already swept."""
     import glob
     import re
 
@@ -121,19 +116,56 @@ def _next_round() -> int:
         for f in glob.glob(str(_REPO / "CORRECTNESS_r*.json"))
         if (m := re.search(r"_r(\d+)\.json$", f))
     ]
-    return max(rounds, default=0) + 1
+    return max(rounds, default=0)
+
+
+def _trace_round(argv: list[str]) -> int:
+    """Round stamped into gate 1's TRACES_r{N}.json.
+
+    Default: the round the NEXT correctness artifact will carry
+    (_closed_round() + 1) — correct for every mid-round and round-close
+    run, because the driver's CORRECTNESS_rN.json only lands AFTER the
+    builder's turns end.  Two explicit overrides (ADVICE r10: the
+    default mis-stamps a run executed after the round's artifact has
+    already landed, e.g. a round-START re-record):
+
+    - ``--round N``: stamp exactly N (the round-close workflow can pin
+      the round it is shipping evidence for);
+    - ``--round-start``: stamp _closed_round() — re-records the
+      just-closed round's traces against the current tree.  Run this at
+      round start BEFORE any engine edit: the engine tree is then
+      byte-identical to the tree the driver's round-N sweep executed
+      (the driver commits only artifact files), so the refreshed
+      TRACES_rN is EXACT evidence for round-N rows even when the
+      round's closing verify ran earlier than its final engine edit
+      (the conservative-churn window documented in round 10).
+
+    Each run OVERWRITES the stamped round's TRACES file; the audit
+    keys traces by the stamped round, so the last write is the one
+    that counts."""
+    if "--round" in argv:
+        return int(argv[argv.index("--round") + 1])
+    if "--round-start" in argv:
+        return _closed_round()
+    return _closed_round() + 1
 
 
 def main() -> None:
     fast = "--fast" in sys.argv
     py = sys.executable
-    rnd = _next_round()
+    rnd = _trace_round(sys.argv)
     _run(
         "emulator sf0.01",
         [py, str(_REPO / "tools" / "driver_emulator.py"),
          "--traces-out", str(_REPO / f"TRACES_r{rnd:02d}.json"),
          "--round", str(rnd)],
     )
+    if "--round-start" in sys.argv:
+        # Round-start mode exists only to refresh the just-closed
+        # round's traces (gate 1); the remaining gates belong to the
+        # normal mid-round/round-close runs.
+        print("ROUND-START TRACE REFRESH DONE")
+        return
     _run(
         "emulator sf0.01 + reliable ckpt",
         [py, str(_REPO / "tools" / "driver_emulator.py")],
