@@ -52,13 +52,16 @@ _PLAN_MODULES = [
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
     # -- round 11: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  The first 18 names are the final
-    # stale-evidence residue from the 68-name relational overflow (all
-    # infra-drift-only, trace-certified in r10); once this window goes
-    # green every one of the 271 registered queries has post-trace-era
-    # driver evidence.  The remaining 32 slots re-check the next-oldest
-    # cohort: the r2-era io/udf surface, the r5-r8 tpch remainder, the
-    # multimodal decoders, and the streaming sliding window. ----
+    # summary.suggested_priority.  q1 leads (integer-grid rewrite,
+    # VERDICT r10 item 3 — the one code change this round; its new
+    # symbol is imported FUNCTION-LOCALLY so the module prelude stays
+    # stable and the staleness drain is not re-dirtied).  Then the
+    # final 18 stale-residue names (the last of the 68-name relational
+    # overflow — once green, every registered query has post-trace-era
+    # driver evidence), then the next-oldest refresh cohort (r2-era
+    # io/udf surface, tpch remainder, multimodal decoders, streaming
+    # sliding window). ----
+    "q1_pricing_summary",
     "d5_rollup",
     "d7_collect_list_str",
     "d8_percentiles",
@@ -108,7 +111,6 @@ _PRIORITY = [
     "tpch_q4_exists",
     "tpch_q8_market_share",
     "tpch_q9_profit",
-    "bloom_membership",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -1,8 +1,11 @@
-"""Targeted driver-emulator: check named queries vs oracles at sf0.01.
+"""Targeted driver-emulator: check named queries vs oracles at sf0.01
+(override the data dir with ``$SPARK_GRAFT_CHECK_SF`` — e.g. the
+generated sf1 — for scale-parity spot checks).
 
 Usage: python tools/check_queries.py name1 name2 ...
 """
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -12,7 +15,7 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF01 = "/root/testdata/sf0.01"
+SF01 = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()

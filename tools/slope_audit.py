@@ -54,6 +54,14 @@ FLAG_SLOPE = 12.0
 WATCH_SLOPE = 5.0
 FLAG_MIN_SEC = 1.0
 
+#: Round 11 (VERDICT r10 item 2): the audit now measures ANY decade —
+#: ``--small DIR --big DIR --out FILE`` point it at a second pair,
+#: e.g. the locally generated sf1 (tools/gen_sf.py), turning the
+#: 100 TB extrapolation from one decade of curvature into two.  The
+#: per-query keys in the artifact are the dir basenames, so
+#: SLOPE_AUDIT.json (sf0.01->sf0.1) and SLOPE_AUDIT_SF1.json
+#: (sf0.1->sf1) read the same way.
+
 #: Queries whose superlinear growth at 10x data is the documented cost
 #: model, not a plan defect.  Keep reasons one line and specific.
 EXPECTED_SUPERLINEAR: dict[str, str] = {
@@ -107,8 +115,17 @@ def classify(name: str, t_small: float, t_big: float) -> dict:
     }
 
 
+def _arg(argv: list[str], flag: str, default: str) -> str:
+    return argv[argv.index(flag) + 1] if flag in argv else default
+
+
 def main() -> None:
     check = "--check" in sys.argv
+    sf_small = _arg(sys.argv, "--small", SF_SMALL)
+    sf_big = _arg(sys.argv, "--big", SF_BIG)
+    out_path = _REPO / _arg(sys.argv, "--out", "SLOPE_AUDIT.json")
+    key_small = sf_small.rstrip("/").rsplit("/", 1)[1]
+    key_big = sf_big.rstrip("/").rsplit("/", 1)[1]
     load_all_plans()
     spark = get_spark(
         app_name="slope-audit", master="local[32]", shuffle_partitions=32
@@ -125,16 +142,18 @@ def main() -> None:
             continue
         secs = {}
         try:
-            for sf in (SF_SMALL, SF_BIG):
+            for sf in (sf_small, sf_big):
                 fn(spark, sf).count()  # warm: JIT + shuffle files + persists
                 t0 = time.monotonic()
                 n = fn(spark, sf).count()
-                secs[sf.rsplit("/", 1)[1]] = round(time.monotonic() - t0, 3)
+                secs[sf.rstrip("/").rsplit("/", 1)[1]] = round(
+                    time.monotonic() - t0, 3
+                )
             spark.catalog.clearCache()
             results[name] = {
                 **secs,
                 "rows_big": n,
-                **classify(name, secs["sf0.01"], secs["sf0.1"]),
+                **classify(name, secs[key_small], secs[key_big]),
             }
         except Exception as e:  # noqa: BLE001
             fails[name] = repr(e)[:200]
@@ -153,7 +172,7 @@ def main() -> None:
         for n, r in results.items()
         if n in EXPECTED_SUPERLINEAR
         and r["slope"] >= WATCH_SLOPE
-        and r["sf0.1"] >= FLAG_MIN_SEC
+        and r[key_big] >= FLAG_MIN_SEC
     }
     ranked = sorted(results.items(), key=lambda kv: -kv[1]["slope"])
     out = {
@@ -177,7 +196,7 @@ def main() -> None:
         ],
         "results": {k: v for k, v in sorted(results.items())},
     }
-    with open(_REPO / "SLOPE_AUDIT.json", "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(
         json.dumps(
@@ -188,12 +207,12 @@ def main() -> None:
             indent=1,
         )
     )
-    print(f"wrote {_REPO / 'SLOPE_AUDIT.json'}")
+    print(f"wrote {out_path}")
     if check and (flagged or fails):
         print(
             f"SLOPE-FLAG: {len(flagged)} superlinear quer"
             f"{'y' if len(flagged) == 1 else 'ies'}, "
-            f"{len(fails)} failures — read SLOPE_AUDIT.json",
+            f"{len(fails)} failures — read {out_path.name}",
             file=sys.stderr,
         )
         sys.exit(1)
