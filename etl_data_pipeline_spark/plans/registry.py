@@ -44,6 +44,10 @@ _PLAN_MODULES = [
     "etl_data_pipeline_spark.plans.timeseries",
     "etl_data_pipeline_spark.plans.modern",
     "etl_data_pipeline_spark.plans.sketches",
+    # round 11: SURVEY §2.2 growth rules — new-capability operators
+    # live in a NEW module so no existing query's recorded trace pair
+    # (module prelude) is dirtied by their arrival.
+    "etl_data_pipeline_spark.plans.scale_patterns",
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run
@@ -51,16 +55,19 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 11: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  q1 leads (integer-grid rewrite,
-    # VERDICT r10 item 3 — the one code change this round; its new
-    # symbol is imported FUNCTION-LOCALLY so the module prelude stays
-    # stable and the staleness drain is not re-dirtied).  Then the
-    # final 18 stale-residue names (the last of the 68-name relational
-    # overflow — once green, every registered query has post-trace-era
-    # driver evidence), then the next-oldest refresh cohort (r2-era
-    # io/udf surface, tpch remainder, multimodal decoders, streaming
-    # sliding window). ----
+    # -- round 11 (final): set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  Head: the two NEW-capability
+    # round-11 queries (never-checked, SURVEY 2.2 growth rules:
+    # a18_parquet_stats footer introspection, decontaminate_bloom
+    # two-phase bloom-pruned join), then q1 (integer-grid rewrite,
+    # VERDICT r10 item 3), then the final 18 stale-residue names (the
+    # last of the 68-name relational overflow — once green, every
+    # pre-round-11 query has post-trace-era driver evidence), then the
+    # next-oldest refresh cohort (the optional refreshes the new
+    # entries displaced — tpch_q8/q9, bloom_membership — rotate to
+    # round 12). ----
+    "a18_parquet_stats",
+    "decontaminate_bloom",
     "q1_pricing_summary",
     "d5_rollup",
     "d7_collect_list_str",
@@ -109,8 +116,6 @@ _PRIORITY = [
     "tpch_q21_waiting",
     "tpch_q2_min_cost",
     "tpch_q4_exists",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -763,3 +763,70 @@ def test_asof_join_tied_right_timestamps_deterministic(spark, n_parts):
         right_payload=["event_id", "ts"],
     ).collect()
     assert [(r["lid"], r["r_event_id"]) for r in out] == [(1, 7)]
+
+
+def test_a18_footer_stats_match_pyarrow_and_scan(spark):
+    """The footer sweep's row/column counts equal pyarrow's direct
+    footer read AND a real scan's count — plus the row-group count the
+    driver oracle can't see (no view-level SQL for it) is asserted
+    here against pyarrow."""
+    import pyarrow.parquet as pq
+
+    from etl_data_pipeline_spark.catalog import TABLES, table_path
+
+    out = {
+        r["tbl"]: r
+        for r in QUERIES["a18_parquet_stats"](spark, SF_DIR).collect()
+    }
+    assert set(out) == set(TABLES)
+    for t in TABLES:
+        md = pq.ParquetFile(table_path(SF_DIR, t)).metadata
+        assert out[t]["n_rows"] == md.num_rows
+        assert out[t]["n_cols"] == md.num_columns
+        assert out[t]["n_rows"] == (
+            load_table(spark, SF_DIR, t).count()
+        )
+        assert md.num_row_groups >= 1  # the field tests can see, oracle can't
+
+
+def test_decontaminate_bloom_equals_exact_decontaminate(spark):
+    """The bloom prune + exact confirm must be answer-identical to the
+    plain broadcast semi-join formulation — the bitmap may only change
+    COST, never the result (no false negatives; FPs die in the confirm
+    join)."""
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in QUERIES["decontaminate"](spark, SF_DIR).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in QUERIES["decontaminate_bloom"](spark, SF_DIR).collect()
+    }
+    assert exact == bloom and len(exact) > 0
+
+
+def test_b20_bloom_positions_match_python_mirror(spark):
+    """Differential mirror (house convention): the 4 word/bit probe
+    positions computed by the DataFrame expressions equal a from-scratch
+    Python md5-slice mirror for arbitrary shingle strings."""
+    import hashlib
+
+    from etl_data_pipeline_spark.plans.scale_patterns import (
+        _B20_PROBES,
+        _B20_WORD_BITS,
+        _b20_word_bit,
+    )
+
+    shingles = ["a b c", "join the stream", "", "dup dup dup", "x" * 50]
+    df = spark.createDataFrame([(s,) for s in shingles], "sh string")
+    cols = []
+    for i in range(_B20_PROBES):
+        w, b = _b20_word_bit(F.md5("sh"), i)
+        cols += [w.alias(f"w{i}"), b.alias(f"b{i}")]
+    got = {r["sh"]: r for r in df.select("sh", *cols).collect()}
+    for s in shingles:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        for i in range(_B20_PROBES):
+            pos = int(hx[5 * i : 5 * i + 5], 16)
+            assert got[s][f"w{i}"] == pos // _B20_WORD_BITS
+            assert got[s][f"b{i}"] == pos % _B20_WORD_BITS

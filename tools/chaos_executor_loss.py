@@ -86,7 +86,12 @@ os.environ.setdefault("PYTHONPATH", str(_REPO))
 QUERY = sys.argv[1] if len(sys.argv) > 1 else "neardup_clusters"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 #: "auto" = 50% of the measured baseline wall-time (see module doc);
-#: a numeric argument pins the kill point for reproduction.
+#: a numeric argument pins the kill point for reproduction; "map" /
+#: "fetch" (round 11, VERDICT r10 stretch 7) target the kill at a
+#: SHUFFLE PHASE via the status tracker instead of the clock — map =
+#: while the first stage's tasks are writing shuffle output, fetch =
+#: once a downstream stage is reading it (the FetchFailed +
+#: parent-stage-resubmission path).
 KILL_AFTER = sys.argv[3] if len(sys.argv) > 3 else "auto"
 
 
@@ -145,15 +150,57 @@ def main() -> None:
               "chaos comparison would be meaningless")
         spark.stop()
         sys.exit(1)
-    kill_after = (0.5 * warm_sec if KILL_AFTER == "auto"
+    phase_mode = KILL_AFTER in ("map", "fetch")
+    kill_after = (None if phase_mode
+                  else 0.5 * warm_sec if KILL_AFTER == "auto"
                   else float(KILL_AFTER))
+    kill_desc = (f"phase:{KILL_AFTER}" if phase_mode
+                 else f"{kill_after:.2f}s")
     print(f"baseline: cold {base_sec:.1f}s / warm {warm_sec:.1f}s "
-          f"hash={baseline[:16]} kill_after={kill_after:.2f}s", flush=True)
+          f"hash={baseline[:16]} kill_after={kill_desc}", flush=True)
 
-    def attempt(kill_at: float) -> str:
+    def _wait_phase(phase: str, th: threading.Thread):
+        """Block until the requested SHUFFLE PHASE is verifiably active
+        (round 11, VERDICT r10 stretch 7 — deterministic map-side vs
+        reduce-side loss instead of a wall-clock kill point):
+
+        - ``map``: the job's FIRST stage has at least one ACTIVE task —
+          its tasks are computing and WRITING shuffle files, so the
+          SIGKILL destroys partially-written map output and the lost
+          map tasks must rerun (shuffle-write recovery);
+        - ``fetch``: a stage with a HIGHER id than the first observed
+          stage is active — a shuffle boundary has been crossed, so its
+          tasks are FETCHING the parent's map output; the SIGKILL
+          destroys both the victim's running reduce tasks AND the map
+          outputs it wrote in the previous phase, forcing surviving
+          reducers into FetchFailed and the scheduler into parent-stage
+          resubmission — the one recovery path a wall-clock kill can't
+          target deterministically.
+
+        Returns (label, stage_id) or None when the job finished before
+        the phase was reached (retryable, like an early finish)."""
+        tracker = spark.sparkContext.statusTracker()
+        first = None
+        while th.is_alive():
+            sids = tracker.getActiveStageIds()
+            if sids:
+                if first is None:
+                    first = min(sids)
+                if phase == "map":
+                    info = tracker.getStageInfo(first)
+                    if info is not None and info.numActiveTasks > 0:
+                        return ("map", first)
+                elif max(sids) > first:
+                    return ("fetch", max(sids))
+            time.sleep(0.02)
+        return None
+
+    def attempt(kill_at: float | None, phase: str | None = None) -> str:
         """One chaos attempt.  Returns 'green' on a verified mid-job
-        kill with an identical hash, 'early' when the job outran the
-        kill (retryable), and exits the process on a real failure."""
+        kill with an identical hash, 'early'/'early-post-kill' when the
+        job outran the kill (retryable), and exits the process on a
+        real failure.  Exactly one of ``kill_at`` (wall-clock seconds)
+        and ``phase`` ('map'/'fetch', see _wait_phase) is set."""
         # Drop every cached block so the chaos run rebuilds its persist
         # points from scratch — otherwise the baseline's cache
         # subsidizes it and the kill has nothing interesting to destroy.
@@ -171,7 +218,13 @@ def main() -> None:
         th = threading.Thread(target=chaos_run, daemon=True)
         t_start = time.perf_counter()
         th.start()
-        time.sleep(kill_at)
+        if phase is not None:
+            hit = _wait_phase(phase, th)
+            if hit is not None:
+                print(f"phase trigger: {hit[0]} (stage {hit[1]}) at "
+                      f"t={time.perf_counter() - t_start:.2f}s", flush=True)
+        else:
+            time.sleep(kill_at)
         if not th.is_alive():
             if "error" in result:
                 # The thread died on a query exception, not an early
@@ -181,8 +234,10 @@ def main() -> None:
                       f"{result['error']}")
                 spark.stop()
                 sys.exit(1)
-            print(f"retryable: job finished in under {kill_at:.2f}s — "
-                  f"nothing was running when the kill would have fired")
+            when = (f"in under {kill_at:.2f}s" if phase is None
+                    else f"before the {phase} phase was caught")
+            print(f"retryable: job finished {when} — nothing was "
+                  f"running when the kill would have fired")
             return "early"
         pids = _executor_pids(app_id)
         if not pids:
@@ -250,19 +305,30 @@ def main() -> None:
               f"{timeout:.0f}s — retrying on a degraded cluster", flush=True)
 
     n_exec_full = len(_executor_pids(app_id))
-    status = attempt(kill_after)
-    if status.startswith("early"):
-        # One retry at half the delay: a warm run beating the cold
-        # baseline's 50% mark is the common early-finish cause.
-        if status == "early-post-kill":
-            _wait_full_cluster(n_exec_full)
-        status = attempt(kill_after / 2)
+    if phase_mode:
+        status = attempt(None, phase=KILL_AFTER)
+        if status.startswith("early"):
+            # One retry: phase triggers are event-driven, so the only
+            # early-finish cause is the job outracing the 20ms poll —
+            # a second attempt on a warm cluster usually catches it.
+            if status == "early-post-kill":
+                _wait_full_cluster(n_exec_full)
+            status = attempt(None, phase=KILL_AFTER)
+    else:
+        status = attempt(kill_after)
+        if status.startswith("early"):
+            # One retry at half the delay: a warm run beating the cold
+            # baseline's 50% mark is the common early-finish cause.
+            if status == "early-post-kill":
+                _wait_full_cluster(n_exec_full)
+            status = attempt(kill_after / 2)
     spark.stop()
     if status != "green":
         print("FAIL: job finished before the kill in both attempts — "
               "use a longer query or larger sf_dir")
         sys.exit(2)
-    print(f"CHAOS GREEN ({mode}): executor killed mid-job, result identical")
+    tag = f"{mode}, phase={KILL_AFTER}" if phase_mode else mode
+    print(f"CHAOS GREEN ({tag}): executor killed mid-job, result identical")
 
 
 if __name__ == "__main__":

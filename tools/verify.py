@@ -22,20 +22,23 @@ coverage-window sync check, and exits non-zero on the first failure:
      ``local-cluster[2,4,4096]``: real separate executor JVMs, the
      only local regime exercising closure serialization, broadcast
      transport, and executor-side module import (VERDICT r8 item 1);
-  4b. executor-loss chaos — tools/chaos_executor_loss.py, all four
+  4b. executor-loss chaos — tools/chaos_executor_loss.py, five
      recovery paths: reliable checkpoint (neardup_clusters, the
      iterative graph loop, checkpoint dir set), lineage recompute
      (i4b_minhash_lsh at sf0.1, pure persist, no dir), plain
      shuffle/exchange recovery (j4_sessionization_metrics at sf0.1, no
      persist points at all — the path most of the registry actually
-     uses; VERDICT r9 item 6), and stateful-streaming recovery
+     uses; VERDICT r9 item 6), stateful-streaming recovery
      (j6_stream_dedup at sf0.1: a real multi-micro-batch job whose
      state store must reload on the relaunched executor; first
      measured green 2026-08-15, kill at 2.66 s, recovery visible at
-     16.6 s vs 5.3 s warm, hash identical); in each, one executor JVM
-     is SIGKILLed mid-query (at 50% of the measured WARM baseline
-     wall-time — adaptive, VERDICT r9 item 5) and the result hash must
-     be byte-identical to the unkilled baseline;
+     16.6 s vs 5.3 s warm, hash identical), and — round 11 — a
+     PHASE-TARGETED kill during a downstream stage's shuffle FETCH
+     (status-tracker trigger, not wall-clock), forcing FetchFailed +
+     parent-stage resubmission; in the first four, one executor JVM is
+     SIGKILLed mid-query at 50% of the measured WARM baseline
+     wall-time (adaptive, VERDICT r9 item 5), and in every mode the
+     result hash must be byte-identical to the unkilled baseline;
   5. pytest           — the full unit/property/plan suite;
   6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
@@ -215,6 +218,20 @@ def main() -> None:
         "executor-loss chaos (stateful streaming)",
         [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
          "j6_stream_dedup", "/root/testdata/sf0.1", "auto"],
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
+        timeout=1800,
+    )
+    _run(
+        # Round 11 (VERDICT r10 stretch 7): the fifth mode kills by
+        # SHUFFLE PHASE, not by the clock — here during a downstream
+        # stage's FETCH, which destroys the victim's map outputs and
+        # forces FetchFailed + parent-stage resubmission, the last
+        # recovery path local-cluster can exercise.  (The map-phase
+        # twin is exercised ad hoc; fetch is the gate because it is
+        # the path a wall-clock kill essentially never lands on.)
+        "executor-loss chaos (shuffle fetch phase)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "j4_sessionization_metrics", "/root/testdata/sf0.1", "fetch"],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
         timeout=1800,
     )
