@@ -178,7 +178,17 @@ def main() -> None:
           target deterministically.
 
         Returns (label, stage_id) or None when the job finished before
-        the phase was reached (retryable, like an early finish)."""
+        the phase was reached (retryable, like an early finish).
+
+        Trigger mechanics (measured on this host with a 10ms-poll
+        probe): the tracker's per-stage task counters LAG — an active
+        stage lists with numActiveTasks=0 for most of its life — so
+        the triggers key on stage PRESENCE, which is immediate: map =
+        the first active-stage listing (plus a 50ms settle so the
+        SIGKILL lands on started tasks — the first stage of a 2s+ job
+        runs hundreds of ms), fetch = any listed stage id above the
+        first observed one (a new stage only launches once its parent
+        shuffle output exists, so its tasks are fetching)."""
         tracker = spark.sparkContext.statusTracker()
         first = None
         while th.is_alive():
@@ -186,11 +196,10 @@ def main() -> None:
             if sids:
                 if first is None:
                     first = min(sids)
-                if phase == "map":
-                    info = tracker.getStageInfo(first)
-                    if info is not None and info.numActiveTasks > 0:
+                    if phase == "map":
+                        time.sleep(0.05)
                         return ("map", first)
-                elif max(sids) > first:
+                if phase == "fetch" and max(sids) > first:
                     return ("fetch", max(sids))
             time.sleep(0.02)
         return None
