@@ -95,6 +95,38 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
         "relational formulation of the same answer is c8_asof_join "
         "(slope ~2)"
     ),
+    # -- round 11: the sf0.1->sf1 decade (embeddings 2k->20k) exposed
+    # the exact-vector cost models that decade 1 hid under fixed
+    # overheads: 10x rows = 100x pairs, so every operator whose answer
+    # is defined over ALL pairs grows ~n^2 by construction.  Measured
+    # slopes land at 6-19x (not 100x) because the blocked numpy matmul
+    # gains efficiency with block size.  The scale paths are the
+    # bucketed ANN family + i6c; those stay UNEXEMPT (watch-listed at
+    # fixed parameters) — see the round-11 SURVEY record for the
+    # parameter-scaling story.
+    "cosine_topk": (
+        "exact GLOBAL top-k over all n^2/2 cosine pairs — the "
+        "designated brute-force baseline (SURVEY I6): 2M pairs at "
+        "sf0.1 -> 200M at sf1, measured 18.8x at 10x rows; scale "
+        "paths: ann_lsh / ivf_ann / i6c_quantized_rerank"
+    ),
+    "i7_knn": (
+        "exact per-vector kNN: n^2 dot products total by definition "
+        "(measured 6.1x at 10x rows — blocked matmul efficiency); "
+        "scale path: ivf_ann / ann_lsh"
+    ),
+    "embedding_neardup": (
+        "exact cosine near-dup verifier over all pairs (n^2); the "
+        "scale path for near-dup is i4b minhash_lsh / simhash"
+    ),
+    "ann_recall": "recall gate computes exact-kNN GROUND TRUTH (n^2)",
+    "ann_multiprobe_recall": (
+        "recall gate computes exact-kNN ground truth (n^2) PLUS the "
+        "multiprobe candidate sweep — the steepest of the recall "
+        "family (22.5x at 10x rows)"
+    ),
+    "ivf_recall": "recall gate computes exact-kNN ground truth (n^2)",
+    "pq_recall": "recall gate computes exact-kNN ground truth (n^2)",
 }
 
 SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
@@ -119,6 +151,49 @@ def _arg(argv: list[str], flag: str, default: str) -> str:
     return argv[argv.index(flag) + 1] if flag in argv else default
 
 
+def _derived_fields(results: dict, key_big: str) -> dict:
+    """The classification-derived artifact fields, recomputed from
+    per-query results (shared by the sweep and --reclassify)."""
+    flagged = sorted(
+        (n for n, r in results.items() if r["flagged"]),
+        key=lambda n: -results[n]["slope"],
+    )
+    watch = sorted(
+        (n for n, r in results.items() if r["watch"]),
+        key=lambda n: -results[n]["slope"],
+    )
+    expected_hits = {
+        n: EXPECTED_SUPERLINEAR[n]
+        for n, r in results.items()
+        if n in EXPECTED_SUPERLINEAR
+        and r["slope"] >= WATCH_SLOPE
+        and r[key_big] >= FLAG_MIN_SEC
+    }
+    ranked = sorted(results.items(), key=lambda kv: -kv[1]["slope"])
+    return {
+        "flagged": flagged,
+        "watch": watch,
+        "expected_superlinear_hits": expected_hits,
+        "top_slopes": [{"name": k, **v} for k, v in ranked[:25]],
+    }
+
+
+def _reclassify(out_path, key_small: str, key_big: str, check: bool) -> None:
+    out = json.loads(out_path.read_text())
+    results = out["results"]
+    for name, r in results.items():
+        r.update(classify(name, r[key_small], r[key_big]))
+    out.update(_derived_fields(results, key_big))
+    out["results"] = {k: v for k, v in sorted(results.items())}
+    out_path.write_text(json.dumps(out, indent=1))
+    print(json.dumps({k: out[k] for k in (
+        "n_queries", "fails", "flagged", "watch",
+        "expected_superlinear_hits")}, indent=1))
+    print(f"reclassified {out_path}")
+    if check and (out["flagged"] or out["fails"]):
+        sys.exit(1)
+
+
 def main() -> None:
     check = "--check" in sys.argv
     sf_small = _arg(sys.argv, "--small", SF_SMALL)
@@ -126,6 +201,13 @@ def main() -> None:
     out_path = _REPO / _arg(sys.argv, "--out", "SLOPE_AUDIT.json")
     key_small = sf_small.rstrip("/").rsplit("/", 1)[1]
     key_big = sf_big.rstrip("/").rsplit("/", 1)[1]
+    if "--reclassify" in sys.argv:
+        # Reapply classification (flag/watch/exemptions) to an existing
+        # artifact's RAW TIMINGS without re-running 35 min of Spark —
+        # for when EXPECTED_SUPERLINEAR gains documented entries after
+        # a sweep.  Timings are never touched; only the derived fields.
+        _reclassify(out_path, key_small, key_big, check)
+        return
     load_all_plans()
     spark = get_spark(
         app_name="slope-audit", master="local[32]", shuffle_partitions=32
@@ -155,26 +237,18 @@ def main() -> None:
                 "rows_big": n,
                 **classify(name, secs[key_small], secs[key_big]),
             }
+            # Per-query progress line: when a query kills the JVM
+            # (an sf1 OOM took the whole gateway down on 2026-08-15,
+            # losing 33 minutes of timings with no culprit named),
+            # the log identifies the query and preserves every
+            # completed measurement.
+            print(f"  {name}: {secs} slope={results[name]['slope']}",
+                  flush=True)
         except Exception as e:  # noqa: BLE001
             fails[name] = repr(e)[:200]
+            print(f"  {name}: FAILED {fails[name][:120]}", flush=True)
             spark.catalog.clearCache()
 
-    flagged = sorted(
-        (n for n, r in results.items() if r["flagged"]),
-        key=lambda n: -results[n]["slope"],
-    )
-    watch = sorted(
-        (n for n, r in results.items() if r["watch"]),
-        key=lambda n: -results[n]["slope"],
-    )
-    expected_hits = {
-        n: EXPECTED_SUPERLINEAR[n]
-        for n, r in results.items()
-        if n in EXPECTED_SUPERLINEAR
-        and r["slope"] >= WATCH_SLOPE
-        and r[key_big] >= FLAG_MIN_SEC
-    }
-    ranked = sorted(results.items(), key=lambda kv: -kv[1]["slope"])
     out = {
         "method": (
             "per (query, sf): 1 warm + 1 timed run, same local[32] "
@@ -182,20 +256,16 @@ def main() -> None:
             "reads slope ~10 at 10x data once compute dominates, so "
             f"flag = slope >= {FLAG_SLOPE} (faster than the data), "
             f"watch = {WATCH_SLOPE}-{FLAG_SLOPE} (linear-consistent), "
-            f"both requiring t(sf0.1) >= {FLAG_MIN_SEC}s, minus "
+            f"both requiring t({key_big}) >= {FLAG_MIN_SEC}s, minus "
             "documented cost models"
         ),
         "n_queries": len(results),
         "fails": fails,
         "skipped": skipped,
-        "flagged": flagged,
-        "watch": watch,
-        "expected_superlinear_hits": expected_hits,
-        "top_slopes": [
-            {"name": k, **v} for k, v in ranked[:25]
-        ],
+        **_derived_fields(results, key_big),
         "results": {k: v for k, v in sorted(results.items())},
     }
+    flagged = out["flagged"]
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(
