@@ -78,6 +78,21 @@ HEADLINE = [
 #: sat on exactly the naive-twin queries the probe was built to watch).
 _PAIR_BUDGET_SEC = 10.0
 
+#: Pinned paired-ratio ceilings (VERDICT r10 item 3: "publish a
+#: measured per-regime ceiling ... so the gate distinguishes drift
+#: from noise").  Default ceiling is the documented 2.0x bound every
+#: headline query is judged against; q1 gets a TIGHTER drift alarm
+#: because it is the only ratio that ever trended: post integer-grid
+#: rewrite (round 11) it measured 1.487 (local[32]) / 1.217
+#: (local-cluster) in back-to-back quiet sessions — the cross-session
+#: noise band for this sub-second pairing is ~±0.15 — so 1.65 sits
+#: clearly above noise and clearly below the 2.0 judgment bound.
+#: Breaches don't sink the artifact (the driver must always get one);
+#: they are stamped into load_context.paired_bound_breaches and
+#: printed, so drift is visible the round it happens.
+_PAIR_BOUND_DEFAULT = 2.0
+_PAIR_BOUNDS = {"q1_pricing_summary": 1.65}
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -298,6 +313,17 @@ def main() -> None:
         except Exception as e:  # a probe must never sink the artifact
             paired_ratio_errors[name] = repr(e)
     q1_paired_ratio = paired_ratios.get("q1_pricing_summary")
+    paired_bound_breaches = {
+        name: {"ratio": r, "bound": _PAIR_BOUNDS.get(name, _PAIR_BOUND_DEFAULT)}
+        for name, r in paired_ratios.items()
+        if r > _PAIR_BOUNDS.get(name, _PAIR_BOUND_DEFAULT)
+    }
+    for name, b in paired_bound_breaches.items():
+        print(
+            f"PAIRED-BOUND BREACH: {name} ratio {b['ratio']} > "
+            f"pinned {b['bound']}",
+            file=sys.stderr,
+        )
 
     # Scaling probe: re-run the set once at a 10x-smaller sf (when the
     # sibling dir exists) and record t_big/t_small per query. With 10x
@@ -360,6 +386,8 @@ def main() -> None:
         # samples than the plain side — disclosed bias, ADVICE r9)
         "paired_engine_samples": paired_engine_samples,
         "paired_ratio_errors": paired_ratio_errors,
+        # ratios above their pinned per-query ceiling (see _PAIR_BOUNDS)
+        "paired_bound_breaches": paired_bound_breaches,
         "q1_paired_ratio": q1_paired_ratio,
         "load_gate": load_gate,
         "loadavg_before": [round(x, 2) for x in load_before],

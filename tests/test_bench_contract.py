@@ -89,3 +89,19 @@ def test_compact_summary_stays_small():
         f"q{i}_some_query_name": 1.234 for i in range(10)
     }
     assert len(bench.compact_summary_line(rec)) < 2048
+
+
+def test_pinned_paired_bounds_shape():
+    """The drift-alarm ceilings exist, q1's is tighter than the global
+    2.0 judgment bound, and the breach logic fires only above the
+    pinned value (pure dict logic, mirrored from main())."""
+    bench = _load_bench()
+    assert bench._PAIR_BOUND_DEFAULT == 2.0
+    assert 1.49 < bench._PAIR_BOUNDS["q1_pricing_summary"] < 2.0
+    ratios = {"q1_pricing_summary": 1.66, "q3_topk_join": 1.9,
+              "cosine_topk": 0.02}
+    breaches = {
+        n: r for n, r in ratios.items()
+        if r > bench._PAIR_BOUNDS.get(n, bench._PAIR_BOUND_DEFAULT)
+    }
+    assert set(breaches) == {"q1_pricing_summary"}
