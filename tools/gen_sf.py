@@ -100,15 +100,17 @@ def gen(sf: float, out_dir: str) -> None:
     rng = np.random.default_rng(SEED)
     m = sf / 0.1  # multiplier vs the profiled sf0.1
 
-    n_cust = int(15_000 * m)
-    n_supp = int(1_000 * m)
-    n_part = int(20_000 * m)
-    n_ord = int(150_000 * m)
-    n_li = int(600_000 * m)
-    n_ev = int(100_000 * m)
-    n_users = int(1_500 * m)
-    n_doc = int(5_000 * m)
-    n_emb = int(2_000 * m)
+    # round, not int(): float truncation (0.02/0.1*600000 = 119999.99)
+    # would shave a row off non-decade multipliers
+    n_cust = round(15_000 * m)
+    n_supp = round(1_000 * m)
+    n_part = round(20_000 * m)
+    n_ord = round(150_000 * m)
+    n_li = round(600_000 * m)
+    n_ev = round(100_000 * m)
+    n_users = round(1_500 * m)
+    n_doc = round(5_000 * m)
+    n_emb = round(2_000 * m)
 
     _write(out, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
