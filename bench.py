@@ -84,9 +84,11 @@ _PAIR_BUDGET_SEC = 10.0
 #: headline query is judged against; q1 gets a TIGHTER drift alarm
 #: because it is the only ratio that ever trended: post integer-grid
 #: rewrite (round 11) it measured 1.487 (local[32]) / 1.217
-#: (local-cluster) in back-to-back quiet sessions — the cross-session
-#: noise band for this sub-second pairing is ~±0.15 — so 1.65 sits
-#: clearly above noise and clearly below the 2.0 judgment bound.
+#: (local-cluster) in back-to-back quiet bench sessions, and 1.261
+#: warm-min on a dedicated 7-pair settled-host probe (per-round spread
+#: 1.06-1.48) — a ~1.05-1.50 session noise band for this sub-second
+#: pairing — so 1.65 sits clearly above the band's edge and clearly
+#: below the 2.0 judgment bound.
 #: Breaches don't sink the artifact (the driver must always get one);
 #: they are stamped into load_context.paired_bound_breaches and
 #: printed, so drift is visible the round it happens.
