@@ -92,8 +92,28 @@ _PAIR_BUDGET_SEC = 10.0
 #: Breaches don't sink the artifact (the driver must always get one);
 #: they are stamped into load_context.paired_bound_breaches and
 #: printed, so drift is visible the round it happens.
+#:
+#: Round 12 (VERDICT r11 item 5): bounds are PER-REGIME — the
+#: local-cluster pairing (real executor JVMs, 8 cores total) is the
+#: scale-faithful regime and measured far tighter post-rewrite (q1
+#: 1.217 vs local[32]'s 1.05-1.50 noise band), so it gets its own
+#: ceiling (1.45) instead of hiding a real ~30% regression inside the
+#: looser local[32] bound.  Regime = "local-cluster" when the session
+#: master (SPARK_GRAFT_MASTER) starts with it, else "local".
 _PAIR_BOUND_DEFAULT = 2.0
-_PAIR_BOUNDS = {"q1_pricing_summary": 1.65}
+_PAIR_BOUNDS = {
+    "q1_pricing_summary": {"local": 1.65, "local-cluster": 1.45},
+}
+
+
+def pair_bound(name: str, regime: str) -> float:
+    """Pinned paired-ratio ceiling for (query, regime) — the default
+    2.0 judgment bound unless a tighter per-regime alarm is pinned."""
+    return _PAIR_BOUNDS.get(name, {}).get(regime, _PAIR_BOUND_DEFAULT)
+
+
+def _regime(master: str) -> str:
+    return "local-cluster" if master.startswith("local-cluster") else "local"
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -107,7 +127,7 @@ def _wait_for_quiet_host() -> dict:
     started at loadavg 12.2 and published a spurious 2.84x on q1).
 
     Polls ``os.getloadavg()`` until BOTH the 1-min average drops below
-    the gate (default 2.0, ``$SPARK_GRAFT_LOAD_GATE``) and the 5-min
+    the gate (default 1.0, ``$SPARK_GRAFT_LOAD_GATE``) and the 5-min
     average below 1.5x the gate, or the max wait elapses (default
     1500 s, ``$SPARK_GRAFT_LOAD_WAIT_MAX`` — long enough to outlast a
     5-min loadavg decaying from a just-finished verify sweep, bounded
@@ -129,8 +149,16 @@ def _wait_for_quiet_host() -> dict:
     error with zero code change.  1.5x keeps that case gated (3.84 >
     3.0) while staying reachable inside the bounded wait: an idle
     host's 5-min average decays from 3.8 to 3.0 in ~75 s.
+
+    The default gate tightened 2.0 -> 1.0 in round 12 (VERDICT r11
+    item 6): BENCH_r11 passed the 2.0 gate at loadavg 1.33 after only
+    a 60 s wait, then read every query uniformly ~15-30% over the same
+    round's quiet-host run (10.02 s) while every paired ratio was flat
+    — a valid-by-rule but host-inflated artifact.  At 1.0 that run
+    would have waited out the residue instead (an idle host decays
+    1.33 -> 1.0 in ~2 min, well inside the 1500 s bound).
     """
-    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "1500"))
     waited = 0.0
 
@@ -315,10 +343,15 @@ def main() -> None:
         except Exception as e:  # a probe must never sink the artifact
             paired_ratio_errors[name] = repr(e)
     q1_paired_ratio = paired_ratios.get("q1_pricing_summary")
+    regime = _regime(
+        os.environ.get("SPARK_GRAFT_MASTER")
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
     paired_bound_breaches = {
-        name: {"ratio": r, "bound": _PAIR_BOUNDS.get(name, _PAIR_BOUND_DEFAULT)}
+        name: {"ratio": r, "bound": pair_bound(name, regime),
+               "regime": regime}
         for name, r in paired_ratios.items()
-        if r > _PAIR_BOUNDS.get(name, _PAIR_BOUND_DEFAULT)
+        if r > pair_bound(name, regime)
     }
     for name, b in paired_bound_breaches.items():
         print(
@@ -388,8 +421,10 @@ def main() -> None:
         # samples than the plain side — disclosed bias, ADVICE r9)
         "paired_engine_samples": paired_engine_samples,
         "paired_ratio_errors": paired_ratio_errors,
-        # ratios above their pinned per-query ceiling (see _PAIR_BOUNDS)
+        # ratios above their pinned per-(query, regime) ceiling (see
+        # _PAIR_BOUNDS); regime names which ceiling family applied
         "paired_bound_breaches": paired_bound_breaches,
+        "pair_bound_regime": regime,
         "q1_paired_ratio": q1_paired_ratio,
         "load_gate": load_gate,
         "loadavg_before": [round(x, 2) for x in load_before],

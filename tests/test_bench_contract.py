@@ -92,16 +92,31 @@ def test_compact_summary_stays_small():
 
 
 def test_pinned_paired_bounds_shape():
-    """The drift-alarm ceilings exist, q1's is tighter than the global
-    2.0 judgment bound, and the breach logic fires only above the
-    pinned value (pure dict logic, mirrored from main())."""
+    """The drift-alarm ceilings exist PER REGIME (VERDICT r11 item 5),
+    q1's are tighter than the global 2.0 judgment bound, the
+    local-cluster ceiling is tighter than local[32]'s (the lc pairing
+    measured 1.217 post-rewrite vs a 1.05-1.50 local[32] noise band),
+    and the breach logic fires only above the pinned value (pure dict
+    logic, mirrored from main())."""
     bench = _load_bench()
     assert bench._PAIR_BOUND_DEFAULT == 2.0
-    assert 1.49 < bench._PAIR_BOUNDS["q1_pricing_summary"] < 2.0
-    ratios = {"q1_pricing_summary": 1.66, "q3_topk_join": 1.9,
-              "cosine_topk": 0.02}
-    breaches = {
-        n: r for n, r in ratios.items()
-        if r > bench._PAIR_BOUNDS.get(n, bench._PAIR_BOUND_DEFAULT)
-    }
-    assert set(breaches) == {"q1_pricing_summary"}
+    q1_local = bench.pair_bound("q1_pricing_summary", "local")
+    q1_lc = bench.pair_bound("q1_pricing_summary", "local-cluster")
+    assert 1.49 < q1_local < 2.0
+    assert q1_lc < q1_local  # the scale-faithful regime is the canary
+    assert 1.3 < q1_lc < 1.5
+    # unpinned (query, regime) combinations fall back to the default
+    assert bench.pair_bound("q3_topk_join", "local") == 2.0
+    assert bench.pair_bound("q1_pricing_summary", "weird") == 2.0
+    assert bench._regime("local-cluster[2,4,4096]") == "local-cluster"
+    assert bench._regime("local[32]") == "local"
+    for regime in ("local", "local-cluster"):
+        ratios = {"q1_pricing_summary": 1.66, "q3_topk_join": 1.9,
+                  "q5_multi_join": 1.5, "cosine_topk": 0.02}
+        breaches = {
+            n: r for n, r in ratios.items()
+            if r > bench.pair_bound(n, regime)
+        }
+        # q5 has no pinned lc bound, so it must NOT breach at 1.5 in
+        # either regime; only q1 crosses its per-regime ceilings
+        assert breaches == {"q1_pricing_summary": 1.66}, (regime, breaches)

@@ -131,6 +131,23 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
 
 SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
 
+#: Skipped only when the BIG side of the sweep is sf>=1 (VERDICT r11
+#: item 4 — the i6b treatment at scale): i4c is the deliberately-exact
+#: bigram all-pairs verifier whose n^2 cost model is already documented
+#: in EXPECTED_SUPERLINEAR and measured twice (sf0.1 8.2 s, sf1
+#: 305.7 s — ~10% of the whole 272-query sf1 sweep re-proving a known
+#: cost model).  It stays registered, driver-checkable at sf0.01, and
+#: in every sub-sf1 sweep; SPARK_GRAFT_SWEEP_ALL=1 re-includes it.
+SKIP_AT_SF1_UNLESS_ALL = {"i4c_ngram_jaccard"}
+
+
+def _sf_of(key: str) -> float:
+    """Parse the scale factor out of a dir basename like 'sf1'."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", key)
+    return float(m.group(1)) if m else -1.0
+
 
 def classify(name: str, t_small: float, t_big: float) -> dict:
     """Pure classification core (unit-tested without Spark): slope and
@@ -215,7 +232,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     run_all = bool(os.environ.get("SPARK_GRAFT_SWEEP_ALL"))
-    skipped = [] if run_all else sorted(SKIP_UNLESS_ALL & set(QUERIES))
+    skip_set = SKIP_UNLESS_ALL | (
+        SKIP_AT_SF1_UNLESS_ALL if _sf_of(key_big) >= 1.0 else set()
+    )
+    skipped = [] if run_all else sorted(skip_set & set(QUERIES))
 
     results: dict[str, dict] = {}
     fails: dict[str, str] = {}
