@@ -442,19 +442,18 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark broadcasts it and the check is a broadcast semi-join over the
     exploded training shingles — no full shuffle of the corpus; output
     is per-doc shared-shingle counts for threshold/audit downstream.
+
+    The shingle derivation is the ONE shared definition in
+    plans/scale_patterns.py::load_documents_shingles (ADVICE r11 —
+    ``decontaminate_bloom`` must provably check the same semantics, so
+    the expression lives in exactly one place; function-local import
+    keeps this module's prelude stable for the trace audit).
     """
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "s", F.split("text", " ")
+    from etl_data_pipeline_spark.plans.scale_patterns import (
+        load_documents_shingles,
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(s, 1, size(s) - 2),"
-                " (x, i) -> concat_ws(' ', slice(s, i + 1, 3)))"
-            )
-        ).alias("sh"),
-    ).distinct()
+
+    sh = load_documents_shingles(spark, sf_dir)
     ev = (
         sh.filter(F.col("doc_id") % 97 == 0)
         .select("sh")

@@ -69,11 +69,18 @@ def a18_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def read_footers(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
+        # n_cols counts TOP-LEVEL fields of the footer's arrow schema,
+        # not metadata.num_columns (ADVICE r11): num_columns is the
+        # LEAF-column count, which equals the logical column count only
+        # while every schema is flat — the first struct/nested column
+        # would make it diverge from the oracle's DESCRIBE count.  The
+        # arrow schema is decoded from the same footer bytes, so the
+        # operator stays metadata-only.
         for pdf in it:
             rows = [
-                (t, md.num_rows, md.num_columns)
+                (t, f.metadata.num_rows, len(f.schema_arrow))
                 for t, p in zip(pdf["tbl"], pdf["path"])
-                for md in (pq.ParquetFile(p).metadata,)
+                for f in (pq.ParquetFile(p),)
             ]
             yield pd.DataFrame(rows, columns=["tbl", "n_rows", "n_cols"])
 
@@ -202,9 +209,19 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_documents_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-trigram) pairs — the same shingle
-    derivation ``decontaminate`` uses (plans/curation.py), factored
-    here so the bloom variant provably checks the same semantics."""
+    """Distinct (doc_id, word-trigram) pairs — THE shared shingle
+    derivation: ``decontaminate`` (plans/curation.py) imports and calls
+    this same function (ADVICE r11: the expression used to be
+    duplicated there, so "provably same semantics" rested on two copies
+    not diverging; now it is one definition by construction).
+
+    The trigram count is ``greatest(size(s) - 2, 0)``: a document with
+    fewer than 3 tokens has NO trigrams, and an unguarded
+    ``slice(s, 1, size(s) - 2)`` raises at runtime on a negative
+    length (ADVICE r11 latent bug — unreachable on the current corpus,
+    reachable on any real one).  The DuckDB oracles' GENERATE_SERIES(1,
+    LEN(s) - 2) already yields empty for short docs, so the guard makes
+    the engines agree instead of changing either's answer."""
     from etl_data_pipeline_spark.catalog import load_table
 
     d = load_table(spark, sf_dir, "documents").withColumn(
@@ -214,7 +231,7 @@ def load_documents_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(s, 1, size(s) - 2),"
+                "transform(slice(s, 1, greatest(size(s) - 2, 0)),"
                 " (x, i) -> concat_ws(' ', slice(s, i + 1, 3)))"
             )
         ).alias("sh"),

@@ -168,14 +168,20 @@ def main() -> None:
           its tasks are computing and WRITING shuffle files, so the
           SIGKILL destroys partially-written map output and the lost
           map tasks must rerun (shuffle-write recovery);
-        - ``fetch``: a stage with a HIGHER id than the first observed
-          stage is active — a shuffle boundary has been crossed, so its
-          tasks are FETCHING the parent's map output; the SIGKILL
-          destroys both the victim's running reduce tasks AND the map
-          outputs it wrote in the previous phase, forcing surviving
-          reducers into FetchFailed and the scheduler into parent-stage
-          resubmission — the one recovery path a wall-clock kill can't
-          target deterministically.
+        - ``fetch``: some stage in THIS run has COMPLETED with
+          ``shuffleWriteBytes > 0`` (its map output exists) and a stage
+          with a higher id is now active — so the active stage is
+          consuming a shuffle boundary; the SIGKILL destroys both the
+          victim's running reduce tasks AND the map outputs it wrote in
+          the previous phase, forcing surviving reducers into
+          FetchFailed and the scheduler into parent-stage resubmission
+          — the one recovery path a wall-clock kill can't target
+          deterministically.  (The round-11 trigger — any stage id
+          above the FIRST observed — was measured WRONG by the post-hoc
+          check below: the first observed stage of a parquet query is
+          the file-LISTING job's, so the "higher" stage it fired on was
+          the map stage and the r11 "fetch" green was really a second
+          map-phase kill.  ADVICE r11 called exactly this.)
 
         Returns (label, stage_id) or None when the job finished before
         the phase was reached (retryable, like an early finish).
@@ -187,22 +193,70 @@ def main() -> None:
         the first active-stage listing (plus a 50ms settle so the
         SIGKILL lands on started tasks — the first stage of a 2s+ job
         runs hundreds of ms), fetch = any listed stage id above the
-        first observed one (a new stage only launches once its parent
-        shuffle output exists, so its tasks are fetching)."""
+        first observed one.
+
+        The fetch label is then CONFIRMED POST-HOC (ADVICE r11): with
+        a branchy DAG an independent sibling stage — not a shuffle
+        consumer — can satisfy ``max(sids) > first`` (and if the first
+        stage completes between 20ms polls, ``first`` itself may be a
+        later stage), so stage presence alone could certify a map-phase
+        kill mislabeled as FetchFailed recovery.  Live shuffle-read
+        counters can't confirm it (they lag behind task completion —
+        measured 0 bytes on an actively-fetching stage), but the FINAL
+        per-stage metrics after the job completes are exact:
+        ``_confirm_fetch_stage`` requires the killed-into stage's
+        ``lastStageAttempt(sid).shuffleReadBytes() > 0`` before the
+        fetch run may report green."""
         tracker = spark.sparkContext.statusTracker()
+        store = spark.sparkContext._jsc.sc().statusStore()
         first = None
+        seen: set[int] = set()
+        writers: set[int] = set()  # COMPLETE stages with shuffle output
         while th.is_alive():
             sids = tracker.getActiveStageIds()
+            seen.update(sids)
             if sids:
                 if first is None:
                     first = min(sids)
                     if phase == "map":
                         time.sleep(0.05)
                         return ("map", first)
-                if phase == "fetch" and max(sids) > first:
-                    return ("fetch", max(sids))
+                if phase == "fetch":
+                    for sid in seen - writers:
+                        if sid in sids:
+                            continue  # still active — final metrics lag
+                        try:
+                            s = store.lastStageAttempt(sid)
+                            if (s.status().toString() == "COMPLETE"
+                                    and s.shuffleWriteBytes() > 0):
+                                writers.add(sid)
+                        except Exception:  # noqa: BLE001 — not listed yet
+                            pass
+                    cands = [s for s in sids
+                             if writers and s > min(writers)]
+                    if cands:
+                        return ("fetch", max(cands))
             time.sleep(0.02)
         return None
+
+    def _confirm_fetch_stage(stage_id: int) -> bool:
+        """POST-HOC fetch-label check (ADVICE r11; see _wait_phase):
+        after the chaos run completes, the killed-into stage's FINAL
+        metrics must show it actually read shuffle output — a sibling
+        stage that merely carried a higher id reads zero.  Final
+        metrics are exact (unlike the lagging live counters); the
+        lookup spans attempts, so a resubmitted stage still confirms
+        via its successful attempt."""
+        try:
+            store = spark.sparkContext._jsc.sc().statusStore()
+            read = store.lastStageAttempt(stage_id).shuffleReadBytes()
+            print(f"fetch confirm: stage {stage_id} final "
+                  f"shuffleReadBytes={read}", flush=True)
+            return read > 0
+        except Exception as e:  # noqa: BLE001 — statusStore API drift
+            print(f"fetch confirm FAILED to introspect stage "
+                  f"{stage_id}: {e!r}", flush=True)
+            return False
 
     def attempt(kill_at: float | None, phase: str | None = None) -> str:
         """One chaos attempt.  Returns 'green' on a verified mid-job
@@ -227,6 +281,7 @@ def main() -> None:
         th = threading.Thread(target=chaos_run, daemon=True)
         t_start = time.perf_counter()
         th.start()
+        hit = None
         if phase is not None:
             hit = _wait_phase(phase, th)
             if hit is not None:
@@ -291,6 +346,17 @@ def main() -> None:
             spark.stop()
             print("FAIL: chaos hash differs from baseline")
             sys.exit(1)
+        if phase == "fetch":
+            # ADVICE r11: never certify a fetch-phase kill on stage
+            # PRESENCE alone — require the killed-into stage to have
+            # actually read shuffle output (see _confirm_fetch_stage).
+            if hit is None or not _confirm_fetch_stage(hit[1]):
+                print("FAIL: kill landed in a stage that read no "
+                      "shuffle output — a sibling stage satisfied the "
+                      "fetch trigger; this green would certify a "
+                      "mislabeled map-phase kill")
+                spark.stop()
+                sys.exit(1)
         return "green"
 
     def _wait_full_cluster(expected: int, timeout: float = 120.0) -> None:
