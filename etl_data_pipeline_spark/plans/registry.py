@@ -55,67 +55,64 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 11 (final): set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  Head: the two NEW-capability
-    # round-11 queries (never-checked, SURVEY 2.2 growth rules:
-    # a18_parquet_stats footer introspection, decontaminate_bloom
-    # two-phase bloom-pruned join), then q1 (integer-grid rewrite,
-    # VERDICT r10 item 3), then the final 18 stale-residue names (the
-    # last of the 68-name relational overflow — once green, every
-    # pre-round-11 query has post-trace-era driver evidence), then the
-    # next-oldest refresh cohort (the optional refreshes the new
-    # entries displaced — tpch_q8/q9, bloom_membership — rotate to
-    # round 12). ----
+    # -- round 12: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  Head: the 11 stale names (the
+    # scale-adaptive ANN family rewrite — ivf/lsh/multiprobe/pq
+    # pairs, VERDICT r11 item 1 — plus the three ADVICE-item
+    # edits: a18 logical column count, the shared shingle helper
+    # behind decontaminate/decontaminate_bloom), then the
+    # oldest-evidence rotation, which this round covers the entire
+    # remaining infra-certified-only cohort (VERDICT r11 item 3).
+    "pq_ann",
+    "pq_recall",
+    "ann_lsh",
+    "ann_multiprobe",
+    "ann_multiprobe_recall",
+    "ann_recall",
+    "ivf_ann",
+    "ivf_recall",
+    "decontaminate",
     "a18_parquet_stats",
     "decontaminate_bloom",
-    "q1_pricing_summary",
-    "d5_rollup",
-    "d7_collect_list_str",
-    "d8_percentiles",
-    "e2_lag_lead",
-    "e3_running_frames",
-    "f1_multi_sort",
-    "f2_topk",
-    "g1_union",
-    "g1b_union_distinct",
-    "g2_intersect_except",
-    "g3_dedup_rows",
-    "g3b_dedup_subset_keepmin",
-    "window_rank",
-    "c10_null_aware_anti",
-    "e3b_interval_frame",
-    "g1c_union_missing_cols",
-    "d10_bitwise_agg",
-    "pareto_abc",
-    "a2_csv_roundtrip",
-    "a3_jsonl_roundtrip",
-    "a6_schema_evolution",
-    "a7_csv_malformed",
-    "k1_scalar_udf",
-    "k2_pandas_udf_norm",
-    "k3_grouped_zscore",
-    "k4_udtf",
-    "a17_zorder_layout",
-    "c9_nullsafe_join",
-    "d4_approx_distinct",
-    "d8b_percentile_approx",
-    "ewma_smooth",
-    "j12_stream_sliding",
-    "mm_decode_image",
-    "mm_decode_video",
-    "mm_features",
-    "mm_frame_sample",
-    "tpch_q10_returned_topk",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_lines",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
-    "tpch_q20_excess_share",
-    "tpch_q21_waiting",
-    "tpch_q2_min_cost",
-    "tpch_q4_exists",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "bloom_membership",
+    "c8c_asof_nearest",
+    "cusum_changepoint",
+    "event_transition_matrix",
+    "funnel_latency",
+    "h9_collation",
+    "heavy_hitters_mg",
+    "interval_coverage",
+    "ivm_incremental_agg",
+    "j13_stream_static_enrich",
+    "j3b_dynamic_gap_session",
+    "k9_grouped_apply_in_arrow",
+    "mm_audio_energy",
+    "mm_image_histogram",
+    "robust_zscore_mad",
+    "sales_mart",
+    "session_path_trigrams",
+    "sql_execute_immediate",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "sql_scripting",
+    "sql_variables",
+    "anomaly_p95",
+    "c8_asof_join",
+    "containment_pairs",
+    "corpus_curation",
+    "daily_active_cumulative",
+    "distinct_agg",
+    "e5_running_distinct",
+    "funnel_conversion",
+    "gap_fill_locf",
+    "h1_string_funcs",
+    "h1b_string_funcs_more",
+    "h1c_regexp_extract_all",
+    "h2_datetime_funcs",
+    "h2b_datetime_funcs_more",
+    "h3_math_funcs",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -137,10 +137,12 @@ def test_ivf_recall_vs_exact(spark):
     ivf_pairs = set(zip(ivf["vec_id"], ivf["neighbor"]))
     exact_pairs = set(zip(exact["vec_id"], exact["neighbor"]))
     recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
-    # every query probes 2 of 10 cells => recall must beat the 0.2 random
-    # cell-coverage floor by a wide margin if the quantizer works at all
+    # adaptive quantizer (round 12): nlist = max(4, n/125) integer-
+    # k-means cells, nprobe = nlist/5 — measured 0.733 at n=500
+    # (4 cells / 2 probes = 50% scan); 0.45 is the driver gate's pin,
+    # far above the ~25% random cell-coverage floor
     assert len(ivf_pairs) > 0
-    assert recall >= 0.2, recall
+    assert recall >= 0.45, recall
     print(f"ivf_ann recall@3 = {recall:.3f}")
 
 

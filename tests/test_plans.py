@@ -713,3 +713,61 @@ def test_priority_matches_audit_prescription():
     assert not no_oracle, no_oracle
     # the driver's ~50-slot window follows registry iteration order
     assert list(QUERIES)[: len(_PRIORITY)] == _PRIORITY
+
+
+def test_adaptive_ann_oracles_parameterized():
+    """Round 12 (VERDICT r11 item 1): the six ANN oracles that compose
+    their SQL via .replace() on the shared fixed-parameter bodies must
+    actually have been rewritten — a silent .replace() no-op (string
+    drift in the shared constant) would leave a fixed-parameter oracle
+    under an adaptive engine and only surface as an sf1 hash mismatch.
+    Also proves PARAMETER PARITY cross-engine: the oracle's integer
+    plane/code rules evaluated by DuckDB at several corpus sizes equal
+    operators/ann_adaptive.py's Python rules."""
+    import duckdb
+
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        adaptive_codes,
+        adaptive_nlist,
+        adaptive_nprobe,
+        adaptive_planes,
+    )
+    from etl_data_pipeline_spark.plans import ORACLES
+
+    lsh = ["ann_lsh", "ann_recall", "ann_multiprobe", "ann_multiprobe_recall"]
+    for name in lsh:
+        sql = ORACLES[name]
+        assert "RANGE(4) j" not in sql, name  # substitution applied
+        assert "lp.planes" in sql, name
+    # the adaptive-plane preamble is byte-identical across the family
+    # (the .replace() composition exists precisely so the four copies
+    # cannot diverge past this shared prefix)
+    pres = {ORACLES[n].split("planes AS (")[0] for n in lsh}
+    assert len(pres) == 1, "adaptive lp CTE drifted between LSH oracles"
+    for name in ("ann_multiprobe", "ann_multiprobe_recall"):
+        assert "XOR(bucket, 4)" not in ORACLES[name], name
+        assert "jj.range" in ORACLES[name], name
+    for name in ("pq_ann", "pq_recall"):
+        sql = ORACLES[name]
+        assert "vec_id < 16" not in sql, name
+        assert "pc.n_codes" in sql, name
+    for name in ("ivf_ann", "ivf_recall"):
+        sql = ORACLES[name]
+        assert "GREATEST(4, COUNT(*) // 125)" in sql, name
+
+    # cross-engine parameter parity at several corpus sizes
+    for n in (100, 500, 2000, 20000, 200000, 4096 * 125):
+        planes_sql = duckdb.sql(
+            "SELECT GREATEST(4, COALESCE((SELECT MAX(t.j) FROM RANGE(2, 31)"
+            f" t(j), (SELECT {n} AS n) cn"
+            " WHERE (CAST(1 AS BIGINT) << t.j) <= cn.n // 125), 4))"
+        ).fetchone()[0]
+        assert planes_sql == adaptive_planes(n), n
+        nlist_sql, nprobe_sql, codes_sql = duckdb.sql(
+            f"SELECT GREATEST(4, {n} // 125),"
+            f" GREATEST(2, GREATEST(4, {n} // 125) // 5),"
+            f" GREATEST(16, {n} // 125)"
+        ).fetchone()
+        assert nlist_sql == adaptive_nlist(n), n
+        assert nprobe_sql == adaptive_nprobe(adaptive_nlist(n)), n
+        assert codes_sql == adaptive_codes(n), n

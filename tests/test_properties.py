@@ -1023,3 +1023,95 @@ def test_sliding_window_counts_match_enumeration(spark, ms_list):
         for s in starts:
             want[s] = want.get(s, 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-IVF integer k-means (round 12, VERDICT r11 item 1): the coarse
+# quantizer the ivf_ann oracle unrolls.  Differential oracle: the ENTIRE
+# iteration chain — 1e-6 grid, stride seeds, integer-sqdist argmin with
+# (d, cell) tie order, floor-division centroid update, final probe
+# ranking — mirrored step-for-step in pure Python over adversarial small
+# corpora (duplicates, ties, empty cells, nlist > n).  Exact-integer
+# paths only, per the house rule: cosine VALUES are never compared here,
+# cell/probe ASSIGNMENT is.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_mirror(rows, nlist, iters):
+    """Pure-Python mirror of operators/ann_adaptive.py::
+    kmeans_cell_ranks' declared semantics (see its docstring)."""
+    import math
+
+    ids = sorted(i for i, _ in rows)
+    g = {i: [math.floor(x * 1000000) for x in v] for i, v in rows}
+    n = len(ids)
+    stride = max(n // nlist, 1)
+    seeds = [
+        ids[r] for r in range(0, min(n, stride * nlist)) if r % stride == 0
+    ]
+    cent = {s: list(g[s]) for s in seeds}
+
+    def dists(vid):
+        return sorted(
+            (sum((a - b) ** 2 for a, b in zip(g[vid], cent[c])), c)
+            for c in cent
+        )
+
+    for _ in range(iters - 1):
+        assign = {vid: dists(vid)[0][1] for vid in ids}
+        upd = {}
+        for c in set(assign.values()):
+            members = [vid for vid in ids if assign[vid] == c]
+            upd[c] = [
+                sum(g[vid][p] for vid in members) // len(members)
+                for p in range(len(g[members[0]]))
+            ]
+        cent = upd
+    ranks = {}
+    for vid in ids:
+        for crn, (_, c) in enumerate(dists(vid), start=1):
+            ranks[(vid, crn)] = c
+    return ranks
+
+
+@JACCARD_DIFF
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    nlist=st.sampled_from([2, 3, 5]),
+    iters=st.sampled_from([1, 2, 3]),
+)
+def test_kmeans_cell_ranks_matches_python_mirror(spark, vecs, nlist, iters):
+    """Differential oracle for the adaptive-IVF quantizer: Spark's
+    kmeans_cell_ranks must reproduce the Python mirror's (vec_id, crn)
+    -> cell map EXACTLY — any drift in the grid quantization, the seed
+    stride, the argmin tie order, or the floor-division update moves a
+    vector across a cell boundary here before any recall gate sees it.
+    Duplicated vectors (hypothesis shrinks toward them) exercise the
+    distance-tie path; tiny corpora exercise nlist > n and vanished
+    cells."""
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        kmeans_cell_ranks,
+    )
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["crn"]): r["cell"]
+        for r in kmeans_cell_ranks(emb, nlist=nlist, iters=iters).collect()
+    }
+    spark.catalog.clearCache()
+    want = _kmeans_mirror(rows, nlist, iters)
+    assert got == want
