@@ -22,7 +22,7 @@ coverage-window sync check, and exits non-zero on the first failure:
      ``local-cluster[2,4,4096]``: real separate executor JVMs, the
      only local regime exercising closure serialization, broadcast
      transport, and executor-side module import (VERDICT r8 item 1);
-  4b. executor-loss chaos — tools/chaos_executor_loss.py, five
+  4b. executor-loss chaos — tools/chaos_executor_loss.py, six
      recovery paths: reliable checkpoint (neardup_clusters, the
      iterative graph loop, checkpoint dir set), lineage recompute
      (i4b_minhash_lsh at sf0.1, pure persist, no dir), plain
@@ -34,11 +34,17 @@ coverage-window sync check, and exits non-zero on the first failure:
      measured green 2026-08-15, kill at 2.66 s, recovery visible at
      16.6 s vs 5.3 s warm, hash identical), and — round 11 — a
      PHASE-TARGETED kill during a downstream stage's shuffle FETCH
-     (status-tracker trigger, not wall-clock), forcing FetchFailed +
-     parent-stage resubmission; in the first four, one executor JVM is
-     SIGKILLed mid-query at 50% of the measured WARM baseline
-     wall-time (adaptive, VERDICT r9 item 5), and in every mode the
-     result hash must be byte-identical to the unkilled baseline;
+     (status-tracker trigger, not wall-clock; since round 12 the green
+     additionally requires the killed-into stage's FINAL
+     shuffleReadBytes > 0 — ADVICE r11 showed the r11 trigger actually
+     landed in the map stage), plus — round 12 — a kill mid-way
+     through the adaptive IVF path's iterative seeded k-means
+     (ivf_ann at sf0.1: persist-kept lineage + all-integer iteration
+     state must recompute the identical hash); in the non-phase modes,
+     one executor JVM is SIGKILLed mid-query at 50% of the measured
+     WARM baseline wall-time (adaptive, VERDICT r9 item 5), and in
+     every mode the result hash must be byte-identical to the
+     unkilled baseline;
   5. pytest           — the full unit/property/plan suite;
   6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
@@ -232,6 +238,21 @@ def main() -> None:
         "executor-loss chaos (shuffle fetch phase)",
         [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
          "j4_sessionization_metrics", "/root/testdata/sf0.1", "fetch"],
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
+        timeout=1800,
+    )
+    _run(
+        # Round 12 (VERDICT r11 stretch 8): sixth mode — the adaptive
+        # IVF path's iterative seeded k-means (operators/
+        # ann_adaptive.py) under executor loss.  The loop's per-
+        # iteration state is lineage-PRESERVING persist, and every
+        # quantity upstream of the final cosine is exact integer math,
+        # so a mid-iteration kill must recompute the identical
+        # centroids and the identical hash (first measured green
+        # 2026-08-15: kill at 50% of a 4.4s warm run, hash identical).
+        "executor-loss chaos (adaptive IVF k-means)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "ivf_ann", "/root/testdata/sf0.1", "auto"],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
         timeout=1800,
     )
