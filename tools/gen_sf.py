@@ -94,10 +94,31 @@ def _ts_day(rng, n, start, end):
     return (days * _DAY_NS).astype("datetime64[ns]").astype("datetime64[us]")
 
 
-def gen(sf: float, out_dir: str) -> None:
+def gen(sf: float, out_dir: str, tables: set[str] | None = None) -> None:
+    """Generate all tables at ``sf`` into ``out_dir``.
+
+    ``tables`` (round 12, VERDICT r11 stretch 7 — sf10 slices for the
+    heavy families only) gates WHICH parquet files are written, never
+    what is generated: the single sequential rng stream is consumed
+    identically either way, so a subset run writes byte-identical
+    files to what a full run at the same sf would write (the skipped
+    tables' arrays are still drawn and discarded — at sf10 that is
+    ~2 min of lineitem draws, the price of stream stability)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
+
+    # assigning _write anywhere in this function makes the name local
+    # everywhere in it, so BOTH branches must bind it
+    real_write = globals()["_write"]
+    if tables is not None:
+        def _write(out_, name, table):  # noqa: ANN001 — shadows the module fn
+            if name in tables:
+                real_write(out_, name, table)
+            else:
+                print(f"  (generated but not written: {name})")
+    else:
+        _write = real_write
     m = sf / 0.1  # multiplier vs the profiled sf0.1
 
     # round, not int(): float truncation (0.02/0.1*600000 = 119999.99)
@@ -232,10 +253,16 @@ def gen(sf: float, out_dir: str) -> None:
 
 
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.scratch/sf{sf:g}"
-    print(f"generating sf={sf:g} -> {out}")
-    gen(sf, out)
+    args = [a for a in sys.argv[1:] if not a.startswith("--tables")]
+    tables = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tables = set(a.split("=", 1)[1].split(","))
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/root/repo/.scratch/sf{sf:g}"
+    print(f"generating sf={sf:g} -> {out}"
+          + (f" (writing only {sorted(tables)})" if tables else ""))
+    gen(sf, out, tables=tables)
     print("done")
 
 

@@ -69,6 +69,10 @@ SKIP: dict[str, str] = {
         "unrolled k-means oracle joins 205M rows x 3 iterations "
         "(measured 240s+ in DuckDB at sf1) — mirror-checked"
     ),
+    "ann_multiprobe": (
+        "oracle's allcos CTE is all-pairs cosine (400M; measured "
+        "oracle-timeout at sf1) — mirror-checked"
+    ),
     # -- text/graph pair oracles whose join volume grows ~(10x)^2 with
     # the corpus (50k docs at sf1).  *i4b is mirror-checked below.
     "i4b_minhash_lsh": (
@@ -87,6 +91,10 @@ SKIP: dict[str, str] = {
     "pagerank_neardup": "pagerank over the all-pairs near-dup graph",
     "kcore_peel": "k-core peel over the all-pairs near-dup graph",
     "pretrain_corpus": "end-to-end DAG embeds i4b (oracle spills >80 GB)",
+    "pack_greedy": (
+        "oracle is a row-recursive CTE (one iteration per document — "
+        "50k steps at sf1, measured oracle-timeout) — mirror-checked"
+    ),
 }
 
 
@@ -254,13 +262,111 @@ def _mirror_ivf(sf_dir: str, k: int = 3, iters: int = 3):
     return out
 
 
-def run_mirrors(spark, qs, sf_dir: str, results: dict) -> int:
-    """The mirror-mode checks; returns the number of failures."""
+def _mirror_multiprobe(sf_dir: str, k: int = 3):
+    """numpy mirror of the FULL adaptive multiprobe-LSH retrieval:
+    int8 quantization, md5-integer plane projections (exact int64 —
+    the lsh_buckets contract), adaptive plane count, the Hamming<=2
+    probe shell gated by the 20%-scan rule, in-bucket rounded-6 cosine
+    top-k.  Vectorized by BUCKET: every query in a bucket shares its
+    probe set, so the work is <=2^planes (queries x candidates)
+    matmuls, not a per-query loop."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        adaptive_planes,
+    )
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    ids = df["vec_id"].astype("int64")
+    E = np.stack([np.asarray(e, dtype="float64") for e in df["embedding"]])
+    n, planes = len(ids), adaptive_planes(len(ids))
+
+    m = np.abs(E).max(axis=1)
+    scale = np.where(m == 0, 1.0, m)
+    q = np.floor(E * 127.0 / scale[:, None] + 0.5)
+    w = np.array([
+        [int(hashlib.md5(f"{j}_{p}".encode()).hexdigest()[:8], 16)
+         % 2001 - 1000 for p in range(64)]
+        for j in range(planes)
+    ], dtype="float64")
+    proj = q @ w.T  # integer-valued float64, |.| <= 8.1e6 — exact
+    bucket = ((proj > 0) << np.arange(planes)).sum(axis=1).astype("int64")
+
+    flips = [1 << j for j in range(planes)]
+    if (planes + 1) * 5 < (1 << planes):
+        flips += [
+            (1 << j1) | (1 << j2)
+            for j1 in range(planes)
+            for j2 in range(j1 + 1, planes)
+        ]
+    members: dict[int, np.ndarray] = {}
+    for b in np.unique(bucket):
+        members[int(b)] = np.nonzero(bucket == b)[0]
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = {}
+    for b, qrows in members.items():
+        probe_bs = [b] + [b ^ f for f in flips]
+        cand = np.concatenate(
+            [members[pb] for pb in probe_bs if pb in members]
+        )
+        C = np.round(N[qrows] @ N[cand].T, 6)
+        for qi, row in zip(qrows, C):
+            mask = cand != qi
+            cc, rr = cand[mask], row[mask]
+            o = np.lexsort((ids[cc], -rr))[:k]
+            out[int(ids[qi])] = [
+                (int(ids[cc][j]), float(rr[j]), rn + 1)
+                for rn, j in enumerate(o)
+            ]
+    return out
+
+
+def _mirror_pack_greedy(sf_dir: str, budget: int = 256):
+    """Pure-Python mirror of the greedy close-when-full packer: docs
+    stream per language in doc_id order; a pack closes when the next
+    doc would overflow the budget.  All-integer — exact by nature."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY lang, doc_id"
+    ).fetchall()
+    out: dict[tuple, list] = {}
+    state: dict[str, list] = {}  # lang -> [pack_id, fill]
+    for _doc, lang, ntok in rows:
+        pid, fill = state.get(lang, [0, None])
+        if fill is not None and fill + ntok > budget:
+            pid, fill = pid + 1, ntok
+        else:
+            fill = ntok if fill is None else fill + ntok
+        state[lang] = [pid, fill]
+        agg = out.setdefault((lang, pid), [0, 0])
+        agg[0] += 1
+        agg[1] += ntok
+    return {
+        (lang, pid, n, tot) for (lang, pid), (n, tot) in out.items()
+    }
+
+
+def run_mirrors(spark, qs, sf_dir: str, results: dict,
+                names: set[str] | None = None) -> int:
+    """The mirror-mode checks; returns the number of failures.
+    ``names`` restricts to a subset (--mirrors-only n1 n2 ...)."""
     fails = 0
 
-    t0 = time.monotonic()
-    topk, knn_m, neardup = _mirror_vectors(sf_dir)
-    prep = time.monotonic() - t0
+    def want(name: str) -> bool:
+        return names is None or name in names
+
+    vec_names = {"cosine_topk", "i7_knn", "embedding_neardup"}
+    if names is None or (vec_names & names):
+        t0 = time.monotonic()
+        topk, knn_m, neardup = _mirror_vectors(sf_dir)
+        prep = time.monotonic() - t0
 
     def record(name, match, n, secs, detail=""):
         nonlocal fails
@@ -277,63 +383,91 @@ def run_mirrors(spark, qs, sf_dir: str, results: dict) -> int:
         print(f"  {'OK ' if match else 'FAIL'} {name} (mirror): {n} rows "
               f"{secs:.1f}s {detail}", flush=True)
 
-    t0 = time.monotonic()
-    got = [
-        (r["a"], r["b"], r["cosine"])
-        for r in qs["cosine_topk"](spark, sf_dir).collect()
-    ]
-    record("cosine_topk", got == topk, len(got), time.monotonic() - t0 + prep)
+    if want("cosine_topk"):
+        t0 = time.monotonic()
+        got = [
+            (r["a"], r["b"], r["cosine"])
+            for r in qs["cosine_topk"](spark, sf_dir).collect()
+        ]
+        record("cosine_topk", got == topk, len(got), time.monotonic() - t0 + prep)
 
-    t0 = time.monotonic()
-    got_knn: dict[int, list] = {}
-    for r in qs["i7_knn"](spark, sf_dir).collect():
-        got_knn.setdefault(r["vec_id"], []).append(
-            (r["neighbor"], r["cosine"])
-        )
-    for v in got_knn.values():  # collect order is not the rank order
-        v.sort(key=lambda t: (-t[1], t[0]))
-    match = got_knn == knn_m
-    record("i7_knn", match, sum(map(len, got_knn.values())),
-           time.monotonic() - t0)
+    if want("i7_knn"):
+        t0 = time.monotonic()
+        got_knn: dict[int, list] = {}
+        for r in qs["i7_knn"](spark, sf_dir).collect():
+            got_knn.setdefault(r["vec_id"], []).append(
+                (r["neighbor"], r["cosine"])
+            )
+        for v in got_knn.values():  # collect order is not the rank order
+            v.sort(key=lambda t: (-t[1], t[0]))
+        match = got_knn == knn_m
+        record("i7_knn", match, sum(map(len, got_knn.values())),
+               time.monotonic() - t0)
 
-    t0 = time.monotonic()
-    got_nd = {
-        (r["a"], r["b"], r["cosine"])
-        for r in qs["embedding_neardup"](spark, sf_dir).collect()
-    }
-    record("embedding_neardup", got_nd == neardup, len(got_nd),
-           time.monotonic() - t0)
+    if want("embedding_neardup"):
+        t0 = time.monotonic()
+        got_nd = {
+            (r["a"], r["b"], r["cosine"])
+            for r in qs["embedding_neardup"](spark, sf_dir).collect()
+        }
+        record("embedding_neardup", got_nd == neardup, len(got_nd),
+               time.monotonic() - t0)
 
-    t0 = time.monotonic()
-    ivf_want = _mirror_ivf(sf_dir)
-    got_ivf: dict[int, list] = {}
-    for r in qs["ivf_ann"](spark, sf_dir).collect():
-        got_ivf.setdefault(r["vec_id"], []).append(
-            (r["neighbor"], r["cosine"], r["rn"])
-        )
-    for v in got_ivf.values():
-        v.sort(key=lambda t: t[2])
-    # vectors with no candidates emit no rows in the engine
-    match = got_ivf == {q: v for q, v in ivf_want.items() if v}
-    record("ivf_ann", match,
-           sum(map(len, got_ivf.values())), time.monotonic() - t0)
+    if want("ivf_ann"):
+        t0 = time.monotonic()
+        ivf_want = _mirror_ivf(sf_dir)
+        got_ivf: dict[int, list] = {}
+        for r in qs["ivf_ann"](spark, sf_dir).collect():
+            got_ivf.setdefault(r["vec_id"], []).append(
+                (r["neighbor"], r["cosine"], r["rn"])
+            )
+        for v in got_ivf.values():
+            v.sort(key=lambda t: t[2])
+        # vectors with no candidates emit no rows in the engine
+        match = got_ivf == {q: v for q, v in ivf_want.items() if v}
+        record("ivf_ann", match,
+               sum(map(len, got_ivf.values())), time.monotonic() - t0)
 
-    t0 = time.monotonic()
-    want_pairs = _mirror_minhash(sf_dir)
-    got_pairs = {
-        (r["a"], r["b"], r["jaccard"])
-        for r in qs["i4b_minhash_lsh"](spark, sf_dir).collect()
-    }
-    # jaccard is one IEEE division of two ints in both — compare exact,
-    # with isclose as the diagnostic (never the pass criterion)
-    match = got_pairs == want_pairs
-    detail = ""
-    if not match:
-        only_g = len(got_pairs - want_pairs)
-        only_w = len(want_pairs - got_pairs)
-        detail = f"engine-only={only_g} mirror-only={only_w}"
-    record("i4b_minhash_lsh", match, len(got_pairs),
-           time.monotonic() - t0, detail)
+    if want("ann_multiprobe"):
+        t0 = time.monotonic()
+        mp_want = _mirror_multiprobe(sf_dir)
+        got_mp: dict[int, list] = {}
+        for r in qs["ann_multiprobe"](spark, sf_dir).collect():
+            got_mp.setdefault(r["vec_id"], []).append(
+                (r["neighbor"], r["cosine"], r["rn"])
+            )
+        for v in got_mp.values():
+            v.sort(key=lambda t: t[2])
+        match = got_mp == {q: v for q, v in mp_want.items() if v}
+        record("ann_multiprobe", match,
+               sum(map(len, got_mp.values())), time.monotonic() - t0)
+
+    if want("i4b_minhash_lsh"):
+        t0 = time.monotonic()
+        want_pairs = _mirror_minhash(sf_dir)
+        got_pairs = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in qs["i4b_minhash_lsh"](spark, sf_dir).collect()
+        }
+        # jaccard is one IEEE division of two ints in both — compare exact,
+        # with isclose as the diagnostic (never the pass criterion)
+        match = got_pairs == want_pairs
+        detail = ""
+        if not match:
+            only_g = len(got_pairs - want_pairs)
+            only_w = len(want_pairs - got_pairs)
+            detail = f"engine-only={only_g} mirror-only={only_w}"
+        record("i4b_minhash_lsh", match, len(got_pairs),
+               time.monotonic() - t0, detail)
+    if want("pack_greedy"):
+        t0 = time.monotonic()
+        want_packs = _mirror_pack_greedy(sf_dir)
+        got_packs = {
+            (r["lang"], r["pack_id"], r["n_docs"], r["pack_tokens"])
+            for r in qs["pack_greedy"](spark, sf_dir).collect()
+        }
+        record("pack_greedy", got_packs == want_packs, len(got_packs),
+               time.monotonic() - t0)
     spark.catalog.clearCache()
     return fails
 
@@ -344,6 +478,12 @@ def main(argv=None) -> None:
     ap.add_argument("--oracle-budget", type=float, default=240.0)
     ap.add_argument("--only", nargs="*", default=None,
                     help="restrict to these query names (debug)")
+    ap.add_argument("--mirrors-only", nargs="*", default=None,
+                    metavar="NAME",
+                    help="run only the named mirror checks and MERGE "
+                         "them into the existing SF1_PARITY.json "
+                         "(re-running one mirror must not discard the "
+                         "75-min oracle sweep)")
     args = ap.parse_args(argv)
 
     from etl_data_pipeline_spark.plans import (
@@ -356,6 +496,28 @@ def main(argv=None) -> None:
     load_all_plans()
     spark = get_spark(app_name="sf1-parity")
     spark.sparkContext.setLogLevel("ERROR")
+
+    out_path = _REPO / "SF1_PARITY.json"
+    if args.mirrors_only is not None:
+        prior = json.loads(out_path.read_text()) if out_path.exists() else {}
+        results = prior.get("results", {})
+        n_fail = run_mirrors(spark, QUERIES, args.sf_dir, results,
+                             names=set(args.mirrors_only) or None)
+        prior["results"] = results
+        prior["n_mirror_match"] = sum(
+            1 for r in results.values()
+            if r.get("match") and r["mode"] == "mirror"
+        )
+        prior["n_fail"] = prior.get("n_fail", 0) + n_fail
+        modes: dict[str, int] = {}
+        for r in results.values():
+            modes[r["mode"]] = modes.get(r["mode"], 0) + 1
+        prior["modes"] = modes
+        with open(out_path, "w") as fh:
+            json.dump(prior, fh, indent=1)
+        print(f"merged mirrors into {out_path}")
+        spark.stop()
+        sys.exit(1 if n_fail else 0)
 
     con = duckdb.connect()
     con.execute(f"SET temp_directory='{_REPO / '.scratch' / 'duck_tmp'}'")

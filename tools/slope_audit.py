@@ -236,11 +236,17 @@ def main() -> None:
         SKIP_AT_SF1_UNLESS_ALL if _sf_of(key_big) >= 1.0 else set()
     )
     skipped = [] if run_all else sorted(skip_set & set(QUERIES))
+    # --queries n1,n2,...: restrict the sweep to a named subset (round
+    # 12, VERDICT r11 stretch 7 — the sf1->sf10 decade is measured for
+    # the heavy families only; a full third-decade sweep would mostly
+    # re-time sub-second relational queries at generator cost)
+    only = _arg(sys.argv, "--queries", "")
+    only_set = {s for s in only.split(",") if s} or None
 
     results: dict[str, dict] = {}
     fails: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        if name in skipped:
+        if name in skipped or (only_set is not None and name not in only_set):
             continue
         secs = {}
         try:
