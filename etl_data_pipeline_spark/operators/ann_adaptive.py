@@ -119,33 +119,84 @@ def grid_vectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _cells_row(cent: DataFrame):
-    """Collapse a (cell, carr) centroid frame into ONE row holding the
-    cell-ascending array of struct(cell, carr) — the broadcastable form
-    the per-vector argmin consumes.  array_sort on structs orders by
-    the first field (cell), which is also the assignment tie-break."""
-    return cent.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cell", "carr"))).alias("cells")
-    )
+def _rank_kern(cells, carrs, top: int | None):
+    """Arrow-batched exact integer distance/ranking kernel.
+
+    Emits, per input vector, its ``top`` nearest cells (all cells when
+    None) as (vec_id, d, cell, crn) with the (d, cell-ascending) tie
+    order.  EXACTNESS: distances use the expansion d = |g|^2 + |c|^2 -
+    2 g.c with every term computed in float64 — |g|,|c| <= 1e6 so each
+    dot/norm is an integer <= 6.6e13 and d <= 2.7e14, all far inside
+    float64's 2^53 exact-integer range, so the BLAS matmul result is
+    the EXACT integer the direct int64 (g-c)^2 sum yields (the
+    differential mirror test pins this).  ``cells`` is cell-ascending,
+    so a stable ascending argsort on d realizes the (d, cell) tie-break.
+
+    This kernel replaced the per-row HOF (zip_with/aggregate over an
+    nlist-element transform) in round 12's sf10 measurement: the HOF
+    form is interpreted per element — fine at sf1 (3.2M cell-distances)
+    but a single-task straggler at sf10's 320M (O(n * nlist) = n^2/125
+    work with an interpreter constant).  The numpy form does the same
+    integers at BLAS speed, and emitting only top-``nprobe`` ranks
+    in-kernel also deletes the n x nlist explode + window shuffle the
+    old final pass needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(carrs, dtype="float64")
+    cell_ids = np.asarray(cells, dtype="int64")
+    c2 = (C * C).sum(axis=1)
+    kk = len(cell_ids) if top is None else min(top, len(cell_ids))
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            G = np.stack(pdf["g"].to_numpy()).astype("float64")
+            d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (G @ C.T)
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            vids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, kk),
+                    "d": np.take_along_axis(d, order, axis=1)
+                    .reshape(-1)
+                    .astype("int64"),
+                    "cell": cell_ids[order].reshape(-1),
+                    "crn": np.tile(
+                        np.arange(1, kk + 1, dtype="int64"), len(vids)
+                    ),
+                }
+            )
+
+    return kern
 
 
-def _dist_to(cc):
-    """Exact integer squared distance from the row's ``g`` to centroid
-    struct ``cc``: sum((g - c)^2) as long."""
-    return F.aggregate(
-        F.zip_with(F.col("g"), cc["carr"], lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
+def _collect_cents(cent: DataFrame):
+    """Driver-pin the (cell, carr) centroid frame, cell-ascending.
+    Bounded by nlist x 64 longs (102k values at sf10's nlist=1600); at
+    nlist beyond ~1e5 the two-level (coarse-of-coarse) quantizer noted
+    in kmeans_cell_ranks replaces both this pin and the O(n x nlist)
+    assignment."""
+    rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    return (
+        [r["cell"] for r in rows],
+        [list(r["carr"]) for r in rows],
     )
 
 
 def kmeans_cell_ranks(
-    embeddings: DataFrame, nlist: int, iters: int = 3
+    embeddings: DataFrame,
+    nlist: int,
+    iters: int = 3,
+    top: int | None = None,
 ) -> DataFrame:
     """Seeded integer-grid Lloyd k-means; returns the FINAL iteration's
-    per-vector cell ranking ``(vec_id, cell, d, crn)`` — crn = 1 is the
-    cell assignment, crn <= nprobe the probe set, so one frame serves
-    both consumers (materialized).
+    per-vector cell ranking ``(vec_id, cell, d, crn)``, truncated to
+    ``top`` ranks when given — crn = 1 is the cell assignment,
+    crn <= nprobe the probe set, so one frame serves both consumers
+    (materialized).
 
     ``iters`` distance passes, ``iters - 1`` centroid updates (the
     final pass both assigns and ranks probes).  3 iterations measured
@@ -155,12 +206,16 @@ def kmeans_cell_ranks(
     so 3 is the knee; every extra iteration also grows the oracle's
     unrolled CTE chain by one assign/update block.
 
-    Intermediate assignments use ``array_min`` over struct(d, cell) —
-    lexicographic struct ordering IS the (distance, cell-id) tie-break,
-    evaluated entirely inside one codegen stage with the centroid array
-    broadcast: NO shuffle per iteration except the tiny (nlist x 64)
-    centroid regroup.  Only the final ranking pass explodes to
-    n x nlist rows for the row_number window (3.2M rows at sf1).
+    Every distance pass runs the Arrow/numpy kernel (_rank_kern — exact
+    float64-integer arithmetic, see its docstring for the sf10 A/B
+    against the rejected per-row HOF form); centroid updates stay
+    DataFrame aggregations (exact integer sums in any order + the pmod
+    floor division).  Assignment cost is O(n * nlist) = n^2/125 by the
+    nlist rule — measured fine through sf10 (200k x 1600 cells) at
+    kernel speed; at 100 TB scale the standard fix is a TWO-LEVEL
+    coarse quantizer (assign against sqrt(nlist) superclusters, then
+    within the winner's children — O(n * sqrt(nlist))), which changes
+    only this module's assignment step, not the cell contract.
     """
     from pyspark.sql.window import Window
 
@@ -181,21 +236,14 @@ def kmeans_cell_ranks(
     ).select(F.col("vec_id").alias("cell"), F.col("g").alias("carr"))
 
     for _ in range(iters - 1):
-        cells_row = _cells_row(cent)
-        best = F.array_min(
-            F.transform(
-                F.col("cells"),
-                lambda cc: F.struct(
-                    _dist_to(cc).alias("d"), cc["cell"].alias("cell")
-                ),
-            )
-        )
-        assign = (
-            grid.crossJoin(F.broadcast(cells_row))
-            .select("vec_id", "g", best["cell"].alias("cell"))
-        )
+        cells, carrs = _collect_cents(cent)
+        assign = grid.mapInPandas(
+            _rank_kern(cells, carrs, top=1),
+            schema="vec_id long, d long, cell long, crn long",
+        ).select("vec_id", "cell")
         upd = (
-            assign.select("cell", F.posexplode("g").alias("pos", "gv"))
+            assign.join(grid, "vec_id")
+            .select("cell", F.posexplode("g").alias("pos", "gv"))
             .groupBy("cell", "pos")
             .agg(F.sum("gv").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .select(
@@ -221,24 +269,12 @@ def kmeans_cell_ranks(
         # loss recomputes the same integers)
         cent = materialize(upd)
 
-    cells_row = _cells_row(cent)
-    ranked = (
-        grid.crossJoin(F.broadcast(cells_row))
-        .select(
-            "vec_id",
-            F.explode(
-                F.transform(
-                    F.col("cells"),
-                    lambda cc: F.struct(
-                        _dist_to(cc).alias("d"), cc["cell"].alias("cell")
-                    ),
-                )
-            ).alias("dc"),
-        )
-        .select("vec_id", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+    cells, carrs = _collect_cents(cent)
+    ranked = grid.mapInPandas(
+        _rank_kern(cells, carrs, top=top),
+        schema="vec_id long, d long, cell long, crn long",
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cell")
-    return materialize(ranked.withColumn("crn", F.row_number().over(w)))
+    return materialize(ranked.select("vec_id", "cell", "d", "crn"))
 
 
 def ivf_topk_adaptive(
@@ -262,7 +298,12 @@ def ivf_topk_adaptive(
     n = embeddings.count()  # bounded driver pin: one scalar
     nlist = adaptive_nlist(n)
     nprobe = adaptive_nprobe(nlist)
-    ranked = kmeans_cell_ranks(embeddings, nlist=nlist, iters=iters)
+    # top=nprobe: ranks beyond the probe set are never consumed, so the
+    # kernel never materializes the n x nlist ranking (320M rows at
+    # sf10) — the property test requests the full ranking explicitly
+    ranked = kmeans_cell_ranks(
+        embeddings, nlist=nlist, iters=iters, top=nprobe
+    )
     assign = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("member"), "cell"
     )

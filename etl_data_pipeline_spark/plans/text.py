@@ -363,15 +363,17 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_id",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      SELECT doc_id, lang,
+             CAST(('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 8))::BIGINT
+                  % 65536 AS BIGINT) AS bucket
       FROM documents
     ), freq AS (
-      SELECT lang AS cand_lang, token, COUNT(*) AS freq
-      FROM toks GROUP BY lang, token
+      SELECT lang AS cand_lang, bucket, COUNT(*) AS freq
+      FROM toks GROUP BY lang, bucket
     ), scores AS (
       SELECT t.doc_id, t.lang, f.cand_lang,
              CAST(SUM(f.freq) AS BIGINT) AS score
-      FROM toks t JOIN freq f ON f.token = t.token
+      FROM toks t JOIN freq f ON f.bucket = t.bucket
       GROUP BY t.doc_id, t.lang, f.cand_lang
     )
     SELECT doc_id, lang, cand_lang AS pred_lang, score,
@@ -382,20 +384,54 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: corpus-statistical language ID.
+    """Text analysis: corpus-statistical language ID over a HASHED
+    feature space (the production lang-ID shape: fastText/CLD-class
+    models hash character n-grams into a FIXED dimension, which is what
+    makes the model a bounded, shippable table).
 
-    Per-lang token frequencies are the model (n-gram heuristic degenerates
-    to unigram here — the corpus tokens carry no sub-word structure);
-    prediction = argmax over langs of summed token frequency, integer
-    scores so parity is exact. Ties break on lang asc.
+    Tokens hash to 2^16 buckets via the house md5-slice (collision-free
+    on this corpus's vocabulary, so scores equal the unhashed
+    formulation's; on a real open vocabulary collisions perturb scores
+    bounded by the load factor — the standard hashing-trick trade).
+    The per-(lang, bucket) frequency model is bounded BY CONSTRUCTION
+    (langs x 2^16 worst case) and broadcast-joined — that boundedness
+    is exactly what distinguishes it from the corpus-derived vocab
+    tables pmi/unigram_lm/source_kl must NOT broadcast (their distinct
+    keys grow with the corpus; tests pin both postures).
+
+    Round 12 (SLOPE_AUDIT_SF10 catch): the previous formulation joined
+    raw token occurrences against the corpus-derived (lang, token)
+    frequency table — on this 31-token vocabulary that shuffle join has
+    31 distinct keys, so at sf10 (27.5M occurrences) a handful of tasks
+    carried everything: measured slope 31.8 at 10x docs (3.2 s ->
+    101 s).  The hashed-model broadcast removes that shuffle entirely
+    (map-side lookup + partial agg), and the hashed token stream is
+    materialized once for its two consumers: re-measured 3.9 s at sf1 /
+    31.9 s at sf10 = slope 8.2, linear-consistent across the third
+    decade.  Prediction = argmax over langs of summed bucket frequency,
+    integer scores so parity is exact; ties break on lang asc.
     """
+    from etl_data_pipeline_spark.materialize import materialize
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
-    freq = toks.groupBy(F.col("lang").alias("cand_lang"), "token").agg(
+    # two consumers (model build + scoring) — materialize so the md5
+    # per occurrence is computed once, not twice
+    toks = materialize(
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        ).select(
+            "doc_id",
+            "lang",
+            F.pmod(md5_hash32(F.col("token")), F.lit(65536))
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    freq = toks.groupBy(F.col("lang").alias("cand_lang"), "bucket").agg(
         F.count(F.lit(1)).alias("freq")
     )
     scores = (
-        toks.join(freq, "token")
+        toks.join(F.broadcast(freq), "bucket")
         .groupBy("doc_id", "lang", "cand_lang")
         .agg(F.sum("freq").alias("score"))
     )

@@ -127,6 +127,19 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
     ),
     "ivf_recall": "recall gate computes exact-kNN ground truth (n^2)",
     "pq_recall": "recall gate computes exact-kNN ground truth (n^2)",
+    # -- round 12, the sf1->sf10 decade (embeddings 20k->200k): the
+    # adaptive ANN contract is a fixed scan FRACTION (nprobe=nlist/5),
+    # so the all-queries self-join form evaluates 0.2*n^2 in-cell
+    # cosines by contract (8e9 at sf10, measured 362 s = 75x at 10x
+    # data vs the exact path's ~100x/2350 s at recall 0.70) plus the
+    # O(n*nlist)=n^2/125 coarse assignment (numpy kernel).  Per-QUERY
+    # cost is 0.2n; fixing nprobe instead makes the total linear at
+    # lower recall — the explicit knob; the 100 TB design note
+    # (two-level quantizer) is in operators/ann_adaptive.py.
+    "ivf_ann": (
+        "fixed 20% scan-fraction contract: all-queries self-join form "
+        "is 0.2*n^2 kernel cosines by design (see round-12 note above)"
+    ),
 }
 
 SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
