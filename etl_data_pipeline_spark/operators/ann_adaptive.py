@@ -394,6 +394,18 @@ def pq_rerank_adaptive(
         ]
     )
 
+    # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c, precomputable per code: the
+    # broadcast subtract-square form materializes an (n, 16, n_codes,
+    # 4) float64 temporary — 3.3 GB per 20k-row batch at the sf1
+    # adaptive codebook (n_codes=160); the round-12 sf1 sweep measured
+    # pq_ann at 67 s with the subtract form (re-measured after this
+    # rewrite in the same artifact).  Inputs are
+    # int8-quantized integer values (|x| <= 127, 4-dim dots <= 6.5e4),
+    # so every term is float64-exact and the argmin — first-min ties
+    # on the ascending code axis — is bit-identical to the subtract
+    # form (hash-checked before/after against the unchanged oracle).
+    cb2 = (cb_arr**2).sum(-1)  # (subspaces, n_codes)
+
     def decode_kern(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -403,7 +415,11 @@ def pq_rerank_adaptive(
                 .astype("float64")
                 .reshape(len(pdf), PQ_SUBSPACES, PQ_SUBDIM)
             )
-            dist = ((X[:, :, None, :] - cb_arr[None, :, :, :]) ** 2).sum(-1)
+            dist = (
+                (X**2).sum(-1)[:, :, None]
+                + cb2[None, :, :]
+                - 2.0 * np.einsum("nsd,scd->nsc", X, cb_arr)
+            )
             code = dist.argmin(axis=2)  # first min = lowest code id
             dec = cb_arr[np.arange(PQ_SUBSPACES)[None, :], code]
             yield pd.DataFrame(

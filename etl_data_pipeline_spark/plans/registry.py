@@ -48,6 +48,9 @@ _PLAN_MODULES = [
     # live in a NEW module so no existing query's recorded trace pair
     # (module prelude) is dirtied by their arrival.
     "etl_data_pipeline_spark.plans.scale_patterns",
+    # round 12: two-level (hierarchical) IVF — same §2.2 rationale,
+    # same new-module isolation.
+    "etl_data_pipeline_spark.plans.ann_hier",
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run
@@ -63,6 +66,9 @@ _PRIORITY = [
     # behind decontaminate/decontaminate_bloom), then the
     # oldest-evidence rotation, which this round covers the entire
     # remaining infra-certified-only cohort (VERDICT r11 item 3).
+    # Never-checked first: the round-12 §2.2 additions (two-level IVF).
+    "ivf2_ann",
+    "ivf2_recall",
     "pq_ann",
     "pq_recall",
     "ann_lsh",
