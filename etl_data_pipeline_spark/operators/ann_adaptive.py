@@ -342,7 +342,7 @@ def pq_rerank_adaptive(
     embeddings: DataFrame,
     k: int = 3,
     n_cand: int = 50,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """PQ two-stage ANN with a SCALE-ADAPTIVE codebook: n_codes =
     max(16, n / 125) seed codes instead of the fixed 16 — the same
@@ -394,16 +394,22 @@ def pq_rerank_adaptive(
         ]
     )
 
-    # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c, precomputable per code: the
-    # broadcast subtract-square form materializes an (n, 16, n_codes,
-    # 4) float64 temporary — 3.3 GB per 20k-row batch at the sf1
-    # adaptive codebook (n_codes=160); the round-12 sf1 sweep measured
-    # pq_ann at 67 s with the subtract form (re-measured after this
-    # rewrite in the same artifact).  Inputs are
-    # int8-quantized integer values (|x| <= 127, 4-dim dots <= 6.5e4),
-    # so every term is float64-exact and the argmin — first-min ties
-    # on the ascending code axis — is bit-identical to the subtract
-    # form (hash-checked before/after against the unchanged oracle).
+    # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c with a PER-SUBSPACE argmin loop.
+    # Two rounds of the round-12 scale audits drove this shape: the
+    # original broadcast subtract-square form materializes an
+    # (n, 16, n_codes, 4) float64 temporary — 3.3 GB per 20k-row batch
+    # at the sf1 adaptive codebook (n_codes=160), measured 67 s for
+    # pq_ann at sf1 (re-measured 15.7 s after the expansion rewrite,
+    # same artifact); and even the expansion's full (n, 16, n_codes)
+    # distance tensor is ~2 GB per Arrow batch at sf10's n_codes=1600,
+    # which OOM-killed the Python workers (PythonArrowOutput
+    # EOFException) across 24 concurrent tasks.  Looping the 16
+    # subspaces keeps the peak at one (n, n_codes) block — 16x less —
+    # and computes the SAME integers: inputs are int8-quantized
+    # (|x| <= 127, 4-dim dots <= 6.5e4), every term float64-exact, and
+    # per-(row, subspace) argmin with first-min ties on the ascending
+    # code axis is exactly the 3-D argmin(axis=2) it replaces
+    # (hash-checked against the unchanged oracle after each rewrite).
     cb2 = (cb_arr**2).sum(-1)  # (subspaces, n_codes)
 
     def decode_kern(batches):
@@ -415,12 +421,15 @@ def pq_rerank_adaptive(
                 .astype("float64")
                 .reshape(len(pdf), PQ_SUBSPACES, PQ_SUBDIM)
             )
-            dist = (
-                (X**2).sum(-1)[:, :, None]
-                + cb2[None, :, :]
-                - 2.0 * np.einsum("nsd,scd->nsc", X, cb_arr)
-            )
-            code = dist.argmin(axis=2)  # first min = lowest code id
+            code = np.empty((len(pdf), PQ_SUBSPACES), dtype="int64")
+            for s in range(PQ_SUBSPACES):
+                Xs = X[:, s, :]
+                ds = (
+                    (Xs * Xs).sum(axis=1)[:, None]
+                    + cb2[s][None, :]
+                    - 2.0 * (Xs @ cb_arr[s].T)
+                )
+                code[:, s] = ds.argmin(axis=1)  # first min = lowest id
             dec = cb_arr[np.arange(PQ_SUBSPACES)[None, :], code]
             yield pd.DataFrame(
                 {
@@ -434,6 +443,19 @@ def pq_rerank_adaptive(
     decoded = qe.select("vec_id", "embedding").mapInPandas(
         decode_kern, schema="vec_id long, embedding array<double>"
     )
+    # Scale-adaptive block count for the SDC candidate scan: knn's
+    # per-task cosine matrix is (n/n_blocks)^2 doubles, so a FIXED
+    # n_blocks=8 is 50 MB/task at sf1 (fine) but 5 GB/task at sf10's
+    # 200k vectors — the round-12 third-decade sweep OOM-killed the
+    # whole local JVM there.  Holding the BLOCK population at ~2500
+    # rows (the same constant-population doctrine as the codebook and
+    # nlist rules) keeps every task at ~50 MB at any n.  The answer is
+    # blocking-invariant by construction: every query meets every
+    # other vector in exactly one block pair and the final window
+    # takes the global top-k under the same total order, so hashes are
+    # unchanged (re-verified at sf0.01 after this change).
+    if n_blocks is None:
+        n_blocks = max(8, n // 2500)
     cand = knn(spark, decoded, k=n_cand, n_blocks=n_blocks)
     eq = embeddings.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq")

@@ -514,9 +514,10 @@ def ivf2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ivf_recall/ann_recall so EVERY approximate path carries a
     driver-checked recall number.  recall_ok pins >= 0.30 — the
     two-level path trades recall for the O~(sqrt(n)) per-query cost
-    (module docstring), so its floor sits below the flat path's 0.45;
-    measured values are recorded here once the sf-ladder measurement
-    lands (round-12 record).
+    (module docstring), so its floor sits below the flat path's 0.45.
+    Measured recall@3 (DuckDB chain, engine hash-identical): 0.787 at
+    sf0.001, 0.807 at sf0.01 (the driver's check point), 0.545 at
+    sf0.1; the sf1 value is in BASELINE.md's two-level table.
 
     Both legs are the registered operators themselves (blocked exact
     kernel; ivf2_topk), so the row certifies retrieval quality

@@ -58,15 +58,14 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 12: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  Head: the 11 stale names (the
-    # scale-adaptive ANN family rewrite — ivf/lsh/multiprobe/pq
-    # pairs, VERDICT r11 item 1 — plus the three ADVICE-item
-    # edits: a18 logical column count, the shared shingle helper
-    # behind decontaminate/decontaminate_bloom), then the
-    # oldest-evidence rotation, which this round covers the entire
-    # remaining infra-certified-only cohort (VERDICT r11 item 3).
-    # Never-checked first: the round-12 §2.2 additions (two-level IVF).
+    # -- round 12 (second session): set MECHANICALLY from
+    # COVERAGE_AUDIT.json summary.suggested_priority.  Head: the two
+    # never-checked round-12 additions (two-level IVF, plans/
+    # ann_hier.py), then the touched-since-check cohort (the adaptive
+    # ANN family incl. the round's three PQ scale fixes, the shared
+    # shingle helper, the lang_id hashed-model rewrite, a18), then the
+    # oldest-evidence rotation covering the entire remaining
+    # infra-certified-only cohort (VERDICT r11 item 3).
     "ivf2_ann",
     "ivf2_recall",
     "pq_ann",
@@ -79,6 +78,8 @@ _PRIORITY = [
     "ivf_recall",
     "decontaminate",
     "a18_parquet_stats",
+    "lang_id",
+    "lang_id_confusion",
     "decontaminate_bloom",
     "tpch_q8_market_share",
     "tpch_q9_profit",
@@ -115,10 +116,6 @@ _PRIORITY = [
     "gap_fill_locf",
     "h1_string_funcs",
     "h1b_string_funcs_more",
-    "h1c_regexp_extract_all",
-    "h2_datetime_funcs",
-    "h2b_datetime_funcs_more",
-    "h3_math_funcs",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained

@@ -29,15 +29,17 @@ def test_gate_passes_immediately_on_quiet_host(monkeypatch):
 
 
 def test_gate_waits_then_proceeds_when_load_drops(monkeypatch):
+    # final sample 0.8 < the round-12 default gate of 1.0 (the fixture
+    # read 1.2 when the gate default was 2.0)
     bench = _load_bench()
-    loads = iter([9.0, 7.0, 1.2])
+    loads = iter([9.0, 7.0, 0.8])
     monkeypatch.setattr(
         bench.os, "getloadavg", lambda: (next(loads), 0.0, 0.0)
     )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     out = bench._wait_for_quiet_host()
     assert out["quiet"] is True
-    assert out["samples"][-1] == (1.2, 0.0)
+    assert out["samples"][-1] == (0.8, 0.0)
     assert out["waited_sec"] > 0
 
 
@@ -45,15 +47,18 @@ def test_gate_holds_for_five_minute_residue(monkeypatch):
     """A just-finished heavy job: 1-min quiet, 5-min still high — the
     gate must keep waiting (measured +56% headline inflation when it
     didn't)."""
+    # 1-min 0.9 is quiet under the round-12 gate of 1.0; the 5-min
+    # residue must decay below 1.5x the gate (3.8 -> 1.2) before the
+    # gate opens (fixture was 1.1 / final 2.2 under the old 2.0 gate)
     bench = _load_bench()
-    fives = iter([3.8, 3.1, 2.2])
+    fives = iter([3.8, 3.1, 1.2])
     monkeypatch.setattr(
-        bench.os, "getloadavg", lambda: (1.1, next(fives), 4.0)
+        bench.os, "getloadavg", lambda: (0.9, next(fives), 4.0)
     )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     out = bench._wait_for_quiet_host()
     assert out["quiet"] is True
-    assert out["samples"][-1] == (1.1, 2.2)
+    assert out["samples"][-1] == (0.9, 1.2)
     assert out["waited_sec"] > 0
 
 

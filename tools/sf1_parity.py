@@ -73,6 +73,13 @@ SKIP: dict[str, str] = {
         "oracle's allcos CTE is all-pairs cosine (400M; measured "
         "oracle-timeout at sf1) — mirror-checked"
     ),
+    # -- round 12 second session: the two-level IVF additions follow
+    # the flat path's split (query mirrored, recall gate skipped).
+    "ivf2_ann": (
+        "two-level unrolled k-means oracle + ~32M candidate-pair "
+        "cosines (the ivf_ann oracle class) — mirror-checked"
+    ),
+    "ivf2_recall": "recall oracle recomputes exact kNN (all pairs)",
     # -- text/graph pair oracles whose join volume grows ~(10x)^2 with
     # the corpus (50k docs at sf1).  *i4b is mirror-checked below.
     "i4b_minhash_lsh": (
@@ -262,6 +269,112 @@ def _mirror_ivf(sf_dir: str, k: int = 3, iters: int = 3):
     return out
 
 
+def _mirror_ivf2(sf_dir: str, k: int = 3):
+    """numpy mirror of the FULL two-level IVF retrieval (plans/
+    ann_hier.py): level-1 seeded integer k-means (2 iterations, nsup =
+    isqrt(nlist) cells), per-sup level-2 child k-means (2 iterations,
+    nchild_s = cnt_s // 125, seeds every stride-th member in vec_id
+    rank order WITHIN the sup), probing = children of the top-psup
+    sups ranked by exact integer distance with (d, cell) ties, top
+    ncell scanned with rounded-6 cosine and (cos desc, n) ties."""
+    from math import isqrt
+
+    import numpy as np
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    ids = df["vec_id"].astype("int64")
+    E = np.stack([np.asarray(e, dtype="float64") for e in df["embedding"]])
+    G = np.floor(E * 1e6).astype("int64")
+    n = len(ids)
+    nlist = max(4, n // 125)
+    nsup = max(2, isqrt(nlist))
+    psup = max(2, nsup.bit_length() - 1)
+    ncell = max(2, nlist // nsup)
+
+    # level 1 (iters=2: assign -> update -> final distances)
+    stride1 = max(n // nsup, 1)
+    seed_rows = [j * stride1 for j in range(nsup) if j * stride1 < n]
+    sups, C = ids[seed_rows].copy(), G[seed_rows].copy()
+    for t in (1, 2):
+        cs = np.argsort(sups)
+        sups, C = sups[cs], C[cs]
+        D = ((G[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        sup_of = D.argmin(axis=1)  # ascending cells -> first-min ties
+        if t < 2:
+            new_c, new_s = [], []
+            for ci in range(len(sups)):
+                m = sup_of == ci
+                if m.any():
+                    new_c.append(np.floor_divide(G[m].sum(axis=0), m.sum()))
+                    new_s.append(sups[ci])
+            C, sups = np.array(new_c), np.array(new_s)
+    probe_sup = np.argsort(D, axis=1, kind="stable")[:, : min(psup, len(sups))]
+
+    # level 2 per sup (iters=2), assignment restricted to own-sup children
+    child_cells: dict[int, tuple] = {}
+    memb_cell = np.full(n, -1, dtype="int64")
+    for ci in range(len(sups)):
+        mem = np.nonzero(sup_of == ci)[0]  # vec_id-ascending by layout
+        cnt = len(mem)
+        if cnt == 0:
+            continue
+        nchild = max(1, cnt // 125)
+        stride2 = cnt // nchild
+        seeds = [mem[j * stride2] for j in range(nchild)
+                 if j * stride2 < cnt]
+        cc, CC = ids[seeds].copy(), G[seeds].copy()
+        for t in (1, 2):
+            cs = np.argsort(cc)
+            cc, CC = cc[cs], CC[cs]
+            DD = ((G[mem][:, None, :] - CC[None, :, :]) ** 2).sum(axis=2)
+            a2 = DD.argmin(axis=1)
+            if t < 2:
+                new_c, new_ids = [], []
+                for j in range(len(cc)):
+                    mm = a2 == j
+                    if mm.any():
+                        new_c.append(
+                            np.floor_divide(G[mem][mm].sum(axis=0), mm.sum())
+                        )
+                        new_ids.append(cc[j])
+                CC, cc = np.array(new_c), np.array(new_ids)
+        child_cells[ci] = (cc, CC)
+        memb_cell[mem] = cc[a2]
+
+    members_by_cell: dict[int, list] = {}
+    for i in range(n):
+        members_by_cell.setdefault(int(memb_cell[i]), []).append(i)
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out: dict[int, list] = {}
+    for i in range(n):
+        have = [int(ci) for ci in probe_sup[i] if int(ci) in child_cells]
+        cc = np.concatenate([child_cells[ci][0] for ci in have])
+        CC = np.vstack([child_cells[ci][1] for ci in have])
+        o = np.argsort(cc, kind="stable")
+        cc, CC = cc[o], CC[o]
+        d = ((G[i][None, :] - CC) ** 2).sum(axis=1)
+        top = np.argsort(d, kind="stable")[: min(ncell, len(cc))]
+        cand = np.array(
+            [m for j in top for m in members_by_cell.get(int(cc[j]), [])],
+            dtype="int64",
+        )
+        cand = cand[cand != i]
+        if len(cand) == 0:
+            out[int(ids[i])] = []
+            continue
+        cos = np.round(N[i] @ N[cand].T, 6)
+        o = np.lexsort((ids[cand], -cos))[:k]
+        out[int(ids[i])] = [
+            (int(ids[cand][j]), float(cos[j]), rn + 1)
+            for rn, j in enumerate(o)
+        ]
+    return out
+
+
 def _mirror_multiprobe(sf_dir: str, k: int = 3):
     """numpy mirror of the FULL adaptive multiprobe-LSH retrieval:
     int8 quantization, md5-integer plane projections (exact int64 —
@@ -427,6 +540,20 @@ def run_mirrors(spark, qs, sf_dir: str, results: dict,
         match = got_ivf == {q: v for q, v in ivf_want.items() if v}
         record("ivf_ann", match,
                sum(map(len, got_ivf.values())), time.monotonic() - t0)
+
+    if want("ivf2_ann"):
+        t0 = time.monotonic()
+        ivf2_want = _mirror_ivf2(sf_dir)
+        got_ivf2: dict[int, list] = {}
+        for r in qs["ivf2_ann"](spark, sf_dir).collect():
+            got_ivf2.setdefault(r["vec_id"], []).append(
+                (r["neighbor"], r["cosine"], r["rn"])
+            )
+        for v in got_ivf2.values():
+            v.sort(key=lambda t: t[2])
+        match = got_ivf2 == {q: v for q, v in ivf2_want.items() if v}
+        record("ivf2_ann", match,
+               sum(map(len, got_ivf2.values())), time.monotonic() - t0)
 
     if want("ann_multiprobe"):
         t0 = time.monotonic()
