@@ -44,7 +44,9 @@ coverage-window sync check, and exits non-zero on the first failure:
      one executor JVM is SIGKILLed mid-query at 50% of the measured
      WARM baseline wall-time (adaptive, VERDICT r9 item 5), and in
      every mode the result hash must be byte-identical to the
-     unkilled baseline;
+     unkilled baseline; round 12's second session adds a seventh
+     mode, the two-level IVF (ivf2_ann: BOTH k-means levels' integer
+     state recomputed through chained materialize points);
   5. pytest           — the full unit/property/plan suite;
   6. bench smoke      — bench.py at sf0.01 with the load gate enabled
      (proves the artifact path runs end-to-end; NOT a timing claim);
@@ -253,6 +255,21 @@ def main() -> None:
         "executor-loss chaos (adaptive IVF k-means)",
         [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
          "ivf_ann", "/root/testdata/sf0.1", "auto"],
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
+        timeout=1800,
+    )
+    _run(
+        # Round 12, second session: seventh mode — the TWO-LEVEL IVF
+        # (plans/ann_hier.py) under executor loss.  Beyond the flat
+        # path's surface it adds a second persist-kept k-means level
+        # whose per-sup seeds depend on a window rank over the
+        # level-1 assignment, so a kill must recompute BOTH levels'
+        # identical integers through the chained materialize points
+        # (first measured green 2026-08-16: kill at t=2.47s of a 4.7s
+        # warm run, hash identical).
+        "executor-loss chaos (two-level IVF)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "ivf2_ann", "/root/testdata/sf0.1", "auto"],
         env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
         timeout=1800,
     )
