@@ -57,6 +57,7 @@ from etl_data_pipeline_spark.materialize import materialize
 from etl_data_pipeline_spark.operators.similarity import (
     PQ_SUBDIM,
     PQ_SUBSPACES,
+    TARGET_BLOCK_ROWS,
     _cell_topk_kern,
     cosine_col,
     knn,
@@ -443,19 +444,16 @@ def pq_rerank_adaptive(
     decoded = qe.select("vec_id", "embedding").mapInPandas(
         decode_kern, schema="vec_id long, embedding array<double>"
     )
-    # Scale-adaptive block count for the SDC candidate scan: knn's
-    # per-task cosine matrix is (n/n_blocks)^2 doubles, so a FIXED
-    # n_blocks=8 is 50 MB/task at sf1 (fine) but 5 GB/task at sf10's
-    # 200k vectors — the round-12 third-decade sweep OOM-killed the
-    # whole local JVM there.  Holding the BLOCK population at ~2500
-    # rows (the same constant-population doctrine as the codebook and
-    # nlist rules) keeps every task at ~50 MB at any n.  The answer is
-    # blocking-invariant by construction: every query meets every
-    # other vector in exactly one block pair and the final window
-    # takes the global top-k under the same total order, so hashes are
-    # unchanged (re-verified at sf0.01 after this change).
+    # Scale-adaptive block count for the SDC candidate scan: since
+    # round 13 the ~2500-rows-per-block rule lives in knn itself
+    # (operators/similarity.py::_resolve_blocks, ADVICE r12 — every
+    # blocked-kernel consumer inherits the sf10 OOM fix, not just this
+    # call site).  Resolved HERE from the already-pinned n rather than
+    # by passing None, because knn's resolver would count() the decoded
+    # frame — an extra pass through the decode mapInPandas stage for a
+    # number this function already holds.
     if n_blocks is None:
-        n_blocks = max(8, n // 2500)
+        n_blocks = max(8, n // TARGET_BLOCK_ROWS)
     cand = knn(spark, decoded, k=n_cand, n_blocks=n_blocks)
     eq = embeddings.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq")

@@ -65,6 +65,35 @@ def cosine_pairs_hof(embeddings: DataFrame, min_cos: float) -> DataFrame:
     )
 
 
+#: Target rows per block for the blocked all-pairs kernels.  The
+#: per-task cosine matrix is (n/n_blocks)^2 doubles, so a FIXED
+#: n_blocks=8 is ~50 MB/task at sf1's 20k vectors but 5 GB/task at
+#: sf10's 200k — the round-12 third-decade sweep OOM-killed the local
+#: JVM there.  Holding the BLOCK population at ~2500 rows (the same
+#: constant-population doctrine as the IVF nlist / PQ codebook rules)
+#: keeps every task at ~50 MB at any n.  Round 13 (ADVICE r12): the
+#: rule moved from pq_rerank_adaptive's single call site into
+#: _resolve_blocks so EVERY consumer of the blocked kernels (knn, the
+#: recall gates' exact legs, cosine_topk_pairs, embedding_neardup)
+#: inherits it instead of keeping the fixed-8 wall.
+TARGET_BLOCK_ROWS = 2500
+
+
+def _resolve_blocks(embeddings: DataFrame, n_blocks: int | None) -> int:
+    """n_blocks=None -> max(8, n // 2500).  The answer is
+    blocking-invariant by construction — every query meets every other
+    vector in exactly one block pair and the final window/sort takes
+    the global top under the same total order — so hashes are
+    unchanged at any block count (asserted by
+    tests/test_operators.py's blocking-invariance cases); only task
+    memory changes.  Every sf <= 1 resolves to the legacy 8, so the
+    measured geometry there is untouched.  Cost: one bounded count()
+    job (a scalar driver pin, the ivf_topk_adaptive precedent)."""
+    if n_blocks is not None:
+        return n_blocks
+    return max(8, embeddings.count() // TARGET_BLOCK_ROWS)
+
+
 def _block_tagged(embeddings: DataFrame, n_blocks: int) -> DataFrame:
     """Fan each vector out to its (block_a, block_b) group-sides.
 
@@ -124,7 +153,7 @@ _EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
 
 def _blocked_pairs(
     embeddings: DataFrame,
-    n_blocks: int,
+    n_blocks: int | None,
     k: int | None,
     min_cos: float | None,
 ) -> DataFrame:
@@ -138,6 +167,7 @@ def _blocked_pairs(
     order); ``min_cos`` thresholds inside the kernel so the candidate
     set never leaves the task.
     """
+    n_blocks = _resolve_blocks(embeddings, n_blocks)
 
     def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         mats = _group_matrices(pdf)
@@ -168,7 +198,7 @@ def _blocked_pairs(
 
 
 def cosine_topk_pairs(
-    spark: SparkSession, embeddings: DataFrame, k: int, n_blocks: int = 8
+    spark: SparkSession, embeddings: DataFrame, k: int, n_blocks: int | None = None
 ) -> DataFrame:
     """I6: global top-k most-similar pairs (a < b), blocked numpy kernel.
 
@@ -180,7 +210,7 @@ def cosine_topk_pairs(
 
 
 def knn(
-    spark: SparkSession, embeddings: DataFrame, k: int, n_blocks: int = 8
+    spark: SparkSession, embeddings: DataFrame, k: int, n_blocks: int | None = None
 ) -> DataFrame:
     """I7: k nearest neighbors per vector (neighbor != self).
 
@@ -190,6 +220,8 @@ def knn(
     under the same (-cosine, neighbor) total order.
     """
     from pyspark.sql.window import Window
+
+    n_blocks = _resolve_blocks(embeddings, n_blocks)
 
     def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         mats = _group_matrices(pdf)
@@ -243,7 +275,7 @@ def knn(
 
 
 def embedding_neardup(
-    spark: SparkSession, embeddings: DataFrame, min_cos: float, n_blocks: int = 8
+    spark: SparkSession, embeddings: DataFrame, min_cos: float, n_blocks: int | None = None
 ) -> DataFrame:
     """Dedup family: embedding-cosine near-duplicate pairs (>= min_cos).
 

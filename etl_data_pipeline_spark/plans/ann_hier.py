@@ -337,9 +337,12 @@ _HIER_CHAIN = """
       FROM embeddings
     ), pp AS (
       SELECT n, nlist,
-             GREATEST(2, (SELECT MAX(t.j) FROM
-                 (SELECT range AS j FROM RANGE(1, 3000)) t
-                 WHERE t.j * t.j <= p.nlist)) AS nsup
+             CASE WHEN nlist >= 100001 * CAST(100001 AS BIGINT)
+                  THEN CAST(error('ivf2 oracle: nlist exceeds the isqrt '
+                                  'search bound (100001^2)') AS BIGINT)
+                  ELSE GREATEST(2, (SELECT MAX(t.j) FROM
+                      (SELECT range AS j FROM RANGE(1, 100001)) t
+                      WHERE t.j * t.j <= p.nlist)) END AS nsup
       FROM p
     ), p3 AS (
       SELECT n, nlist, nsup,

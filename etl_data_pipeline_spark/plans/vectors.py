@@ -17,7 +17,6 @@ from etl_data_pipeline_spark.operators.similarity import (
     cosine_pairs_hof,
     cosine_topk_pairs,
     embedding_neardup,
-    ivf_topk,
     kmeans_iterations,
     knn,
     mmr_diversified,
