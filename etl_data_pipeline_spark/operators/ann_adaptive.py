@@ -20,9 +20,13 @@ prep named):
 
 - components quantized to the 1e-6 grid: ``g = floor(v * 1e6)`` (the
   functions/canonical.py discipline);
-- seeds: every ``stride``-th vector in vec_id rank order (stride =
-  n // nlist) — a deterministic, SQL-expressible sample; the seed's
-  vec_id IS the cell id;
+- seeds (round 13, VERDICT r12 item 1): the ``nlist`` vectors with the
+  smallest ``(h, vec_id)`` where ``h`` is the exact-integer Knuth
+  multiplicative hash (see ``seed_hash_col``) — restricted FIRST to the
+  candidate set ``h < seed_threshold(n, nlist)`` (expected 2*nlist + 64
+  candidates), so selecting them ranks O(nlist) skinny rows instead of
+  the previous global ``Window.orderBy(vec_id)``'s one-task sort of
+  the whole corpus.  The seed's vec_id IS the cell id (unchanged);
 - assignment: argmin over cells of the exact integer squared distance
   ``sum((g - c)^2)`` (|diff| <= 2e6, 64 dims -> max 2.6e14, far inside
   int64), ties broken by ascending cell id;
@@ -38,14 +42,24 @@ order-independent integer math, which is what makes a mid-iteration
 executor kill recoverable with an identical hash (the persist points
 keep lineage; recompute re-derives the same integers).
 
-At 100 TB: nlist ~ n/125 means the centroid table grows with the
-corpus (at 1e9 vectors, 8M cells x 64 dims x 8B = 4 GB) — past
-broadcast range, the assignment join becomes a shuffle join on a
-pre-partitioned centroid table and the seed sample comes from a
-deterministic hash instead of a global rank; the per-iteration
-invariants (integer grid, floor-division update, (d, cell) tie order)
-are unchanged.  At the repo's test scales the centroid array is
-nlist x 64 longs (160 x 64 at sf1 = 80 KB) and rides a broadcast.
+At 100 TB (round 13 — the previously documented escape hatch now
+EXISTS): nlist ~ n/125 means the centroid table grows with the corpus
+(at 1e9 vectors, 8M cells x 64 dims x 8B = 4 GB).  Above
+``PIN_MAX_CELLS`` (1e5) the build switches to CHUNKED-BROADCAST
+assignment (``chunked_cell_ranks``): the centroid table stays a
+DataFrame, each ~65536-cell chunk is pulled and torrent-broadcast one
+at a time (33 MB bounded driver/executor increments, never the 4 GB
+closure pin), every chunk ranks all vectors with the same exact-integer
+kernel, and a partitioned window merges per-chunk candidates under the
+global (d, cell) order — bit-identical to the pinned path at any chunk
+size (asserted by tests), one extra shuffle per pass as the price.
+The REJECTED alternative was a replicate-shuffle-join (explode each
+vector once per chunk and equi-join on chunk id): exact too, but it
+shuffles n * nchunks full vector rows — at 1e9 vectors x 122 chunks
+x 512 B that is ~62 TB of shuffle vs the chunked broadcast's zero.
+The per-iteration invariants (integer grid, floor-division update,
+(d, cell) tie order) are identical in both modes; ``assign_mode``
+selects pin/chunked explicitly for A/B and tests, "auto" by nlist.
 """
 
 from __future__ import annotations
@@ -72,6 +86,66 @@ TARGET_CELL = 125
 
 #: Scan fraction ~ 1/SCAN_DIV of the corpus: nprobe = nlist // 5.
 SCAN_DIV = 5
+
+#: Above this many cells the centroid table is no longer collected into
+#: one kernel closure; assignment runs chunk-by-chunk (the >1e5-nlist
+#: escape hatch the round-12 docstrings promised — VERDICT r12 item 1).
+PIN_MAX_CELLS = 100_000
+
+#: Cells per chunk in chunked mode: 65536 x 64 longs = 32 MB per
+#: broadcast — executor-comfortable, and at 1e9 vectors (nlist = 8M)
+#: only ~122 chunks / union branches.
+CENT_CHUNK = 65536
+
+#: Knuth multiplicative seed hash: floor(2^31 * golden ratio), odd.
+#: Chosen < 2^31 so (vec_id % 2^32) * KNUTH32 < 2^63 stays EXACT int64
+#: in both engines at any BIGINT vec_id (the 32-bit golden constant
+#: 2654435761 overflows int64 past vec_id % 2^32 ~ 3.5e9 — rejected).
+KNUTH32 = 1327217885
+
+_M32 = 4294967296  # 2^32 — the hash modulus
+
+
+def seed_hash_col():
+    """h(vec_id) = ((vec_id % 2^32) * KNUTH32) % 2^32 as a Column —
+    exact integer arithmetic, identical in Spark and DuckDB (the SQL
+    mirror is the same expression verbatim).  Reducing mod 2^32 BEFORE
+    the multiply changes nothing for ids < 2^32 ((q*2^32 + r) * K ==
+    r * K (mod 2^32)) and keeps the product inside int64 beyond."""
+    return F.pmod(
+        F.pmod(F.col("vec_id"), F.lit(_M32)) * F.lit(KNUTH32), F.lit(_M32)
+    )
+
+
+def seed_threshold(n: int, nlist: int) -> int:
+    """Candidate-set hash bound: expected 2*nlist + 64 candidates.
+    The margin makes a sub-nlist candidate count astronomically
+    unlikely at any n (and for dense vec_ids the multiplicative hash is
+    a low-discrepancy sequence, so the realized count is tighter than
+    binomial); if the data ever did fall short, BOTH engines select the
+    same smaller seed set — consistent, just fewer cells.  SQL mirror:
+    CAST(LEAST(4294967296, (CAST(4294967296 AS HUGEINT) * (2*nlist +
+    64)) // n + 1) AS BIGINT)."""
+    return min(_M32, (_M32 * (2 * nlist + 64)) // max(n, 1) + 1)
+
+
+def hash_seeds(grid: DataFrame, n: int, nlist: int) -> DataFrame:
+    """(cell, carr): the nlist grid vectors with smallest (h, vec_id),
+    h restricted to the seed_threshold candidate set first.  No global
+    window: the filter keeps ~2*nlist + 64 rows and the orderBy+limit
+    plans as TakeOrderedAndProject (per-partition top-nlist, one
+    bounded merge of nlist skinny rows) — an n/nlist ~ 125x reduction
+    of the old global-rank seed window's single-task sort, and the
+    ranked rows carry only (h, vec_id, g), never the whole corpus
+    (plan-asserted by tests/test_plans.py::
+    test_kmeans_build_plan_has_no_global_sort)."""
+    t = seed_threshold(n, nlist)
+    cand = grid.select("vec_id", "g", seed_hash_col().alias("h")).filter(
+        F.col("h") < t
+    )
+    return cand.orderBy("h", "vec_id").limit(nlist).select(
+        F.col("vec_id").alias("cell"), F.col("g").alias("carr")
+    )
 
 
 def adaptive_nlist(n: int) -> int:
@@ -143,7 +217,6 @@ def _rank_kern(cells, carrs, top: int | None):
     old final pass needed.
     """
     import numpy as np
-    import pandas as pd
 
     C = np.asarray(carrs, dtype="float64")
     cell_ids = np.asarray(cells, dtype="int64")
@@ -154,32 +227,114 @@ def _rank_kern(cells, carrs, top: int | None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            G = np.stack(pdf["g"].to_numpy()).astype("float64")
-            d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (G @ C.T)
-            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
-            vids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(vids, kk),
-                    "d": np.take_along_axis(d, order, axis=1)
-                    .reshape(-1)
-                    .astype("int64"),
-                    "cell": cell_ids[order].reshape(-1),
-                    "crn": np.tile(
-                        np.arange(1, kk + 1, dtype="int64"), len(vids)
-                    ),
-                }
-            )
+            yield _rank_batch(pdf, C, c2, cell_ids, kk)
 
     return kern
 
 
+def _rank_batch(pdf, C, c2, cell_ids, kk):
+    """One Arrow batch of _rank_kern's exact integer ranking (shared by
+    the closure-pinned and broadcast-chunked kernels so the two modes
+    cannot drift): top-kk (d, cell)-ascending cells per vector."""
+    import numpy as np
+    import pandas as pd
+
+    G = np.stack(pdf["g"].to_numpy()).astype("float64")
+    d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (G @ C.T)
+    order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+    vids = pdf["vec_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(vids, kk),
+            "d": np.take_along_axis(d, order, axis=1)
+            .reshape(-1)
+            .astype("int64"),
+            "cell": cell_ids[order].reshape(-1),
+            "crn": np.tile(np.arange(1, kk + 1, dtype="int64"), len(vids)),
+        }
+    )
+
+
+def _rank_kern_bc(bc, top: int | None):
+    """_rank_kern over a TorrentBroadcast chunk instead of a closure
+    pin: ``bc.value`` resolves (cells, carrs) lazily on the executor
+    (cached per worker process, shipped once per executor per chunk —
+    never serialized into every task binary), so the driver's plan
+    holds only a broadcast handle however large the chunk."""
+    import numpy as np
+
+    def kern(batches):
+        cells_l, carrs_l = bc.value
+        C = np.asarray(carrs_l, dtype="float64")
+        cell_ids = np.asarray(cells_l, dtype="int64")
+        c2 = (C * C).sum(axis=1)
+        kk = len(cell_ids) if top is None else min(top, len(cell_ids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield _rank_batch(pdf, C, c2, cell_ids, kk)
+
+    return kern
+
+
+_RANK_SCHEMA = "vec_id long, d long, cell long, crn long"
+
+
+def chunked_cell_ranks(
+    grid: DataFrame,
+    cent: DataFrame,
+    top: int | None,
+    chunk_cells: int = CENT_CHUNK,
+) -> DataFrame:
+    """Cell ranking against an UNPINNED centroid DataFrame — the
+    >1e5-nlist build path (VERDICT r12 item 1).
+
+    Chunk c = cells with pmod(cell, nchunks) == c; each chunk is
+    collected (bounded: chunk_cells x 64 longs, ~32 MB), torrent-
+    broadcast, and ranked by the shared exact-integer kernel; a window
+    PARTITIONED BY vec_id merges per-chunk top-kk candidates under the
+    global (d, cell) order.  Bit-identical to the pinned path: each
+    chunk's stable (d, cell-ascending) top-kk is exactly the global
+    rule restricted to the chunk, so the union contains the global
+    top-kk and the final window realizes the same total order.  Cost
+    vs pinned: one extra shuffle (the merge window) per pass, and
+    nchunks plan branches — at 1e9 vectors / nlist 8M that is ~122
+    branches of 33 MB broadcasts instead of one 4 GB closure pin on
+    the driver and in every task."""
+    from pyspark.sql.window import Window
+
+    spark = grid.sparkSession
+    nl = cent.count()
+    if nl == 0:
+        raise ValueError("chunked_cell_ranks: empty centroid table")
+    nchunks = -(-nl // chunk_cells)
+    parts = []
+    for ci in range(nchunks):
+        sub = cent.filter(F.pmod(F.col("cell"), F.lit(nchunks)) == ci)
+        cells, carrs = _collect_cents(sub)
+        if not cells:
+            continue
+        bc = spark.sparkContext.broadcast((cells, carrs))
+        parts.append(
+            grid.mapInPandas(_rank_kern_bc(bc, top), schema=_RANK_SCHEMA)
+            .select("vec_id", "d", "cell")
+        )
+    un = parts[0]
+    for nxt in parts[1:]:
+        un = un.unionByName(nxt)
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    ranked = un.withColumn("crn", F.row_number().over(w).cast("long"))
+    if top is not None:
+        ranked = ranked.filter(F.col("crn") <= top)
+    return ranked.select("vec_id", "d", "cell", "crn")
+
+
 def _collect_cents(cent: DataFrame):
-    """Driver-pin the (cell, carr) centroid frame, cell-ascending.
-    Bounded by nlist x 64 longs (102k values at sf10's nlist=1600); at
-    nlist beyond ~1e5 the two-level (coarse-of-coarse) quantizer noted
-    in kmeans_cell_ranks replaces both this pin and the O(n x nlist)
-    assignment."""
+    """Driver-pin a (cell, carr) centroid frame, cell-ascending.
+    Bounded by the caller's contract: full nlist x 64 longs in pinned
+    mode (nlist <= PIN_MAX_CELLS by _resolve_assign_mode), one
+    CENT_CHUNK slice at a time in chunked mode — so the driver never
+    holds more than ~32 MB of centroids however large nlist grows."""
     rows = sorted(cent.collect(), key=lambda r: r["cell"])
     return (
         [r["cell"] for r in rows],
@@ -187,11 +342,26 @@ def _collect_cents(cent: DataFrame):
     )
 
 
+def _resolve_assign_mode(assign_mode: str, nlist: int) -> bool:
+    """True = chunked.  "auto" pins below PIN_MAX_CELLS (today's test
+    scales: zero behavior change) and chunks above; "pin"/"chunked"
+    force a mode for A/B and the mode-equivalence tests."""
+    if assign_mode == "pin":
+        return False
+    if assign_mode == "chunked":
+        return True
+    if assign_mode != "auto":
+        raise ValueError(f"assign_mode must be auto|pin|chunked, got {assign_mode!r}")
+    return nlist > PIN_MAX_CELLS
+
+
 def kmeans_cell_ranks(
     embeddings: DataFrame,
     nlist: int,
     iters: int = 3,
     top: int | None = None,
+    assign_mode: str = "auto",
+    chunk_cells: int = CENT_CHUNK,
 ) -> DataFrame:
     """Seeded integer-grid Lloyd k-means; returns the FINAL iteration's
     per-vector cell ranking ``(vec_id, cell, d, crn)``, truncated to
@@ -213,35 +383,28 @@ def kmeans_cell_ranks(
     DataFrame aggregations (exact integer sums in any order + the pmod
     floor division).  Assignment cost is O(n * nlist) = n^2/125 by the
     nlist rule — measured fine through sf10 (200k x 1600 cells) at
-    kernel speed; at 100 TB scale the standard fix is a TWO-LEVEL
-    coarse quantizer (assign against sqrt(nlist) superclusters, then
-    within the winner's children — O(n * sqrt(nlist))), which changes
-    only this module's assignment step, not the cell contract.
+    kernel speed; the TWO-LEVEL quantizer (plans/ann_hier.py) is the
+    registered O(n * sqrt(nlist)) scale path for the work term, and
+    chunked mode (assign_mode, round 13) removes the memory term — the
+    centroid closure pin — above PIN_MAX_CELLS.  Seeds come from the
+    deterministic Knuth-hash sample (hash_seeds), so no global-rank
+    window ever sorts the corpus in one task.
     """
-    from pyspark.sql.window import Window
-
     grid = materialize(grid_vectors(embeddings))
     n = grid.count()
-    stride = max(n // nlist, 1)
-
-    w0 = Window.orderBy("vec_id")
-    rk = grid.select("vec_id", "g").withColumn(
-        "r", F.row_number().over(w0) - 1
-    )
-    # seed rows: r in {0, stride, 2*stride, ...}, first nlist of them;
-    # the seed's vec_id is the cell id.  Global rank is fine at test
-    # scale; at 100 TB the seed sample comes from a deterministic hash
-    # (no total order needed — any SQL-reproducible sample works).
-    cent = rk.filter(
-        (F.col("r") % stride == 0) & (F.col("r") < stride * nlist)
-    ).select(F.col("vec_id").alias("cell"), F.col("g").alias("carr"))
+    chunked = _resolve_assign_mode(assign_mode, nlist)
+    cent = materialize(hash_seeds(grid, n, nlist))
 
     for _ in range(iters - 1):
-        cells, carrs = _collect_cents(cent)
-        assign = grid.mapInPandas(
-            _rank_kern(cells, carrs, top=1),
-            schema="vec_id long, d long, cell long, crn long",
-        ).select("vec_id", "cell")
+        if chunked:
+            assign = chunked_cell_ranks(
+                grid, cent, top=1, chunk_cells=chunk_cells
+            ).select("vec_id", "cell")
+        else:
+            cells, carrs = _collect_cents(cent)
+            assign = grid.mapInPandas(
+                _rank_kern(cells, carrs, top=1), schema=_RANK_SCHEMA
+            ).select("vec_id", "cell")
         upd = (
             assign.join(grid, "vec_id")
             .select("cell", F.posexplode("g").alias("pos", "gv"))
@@ -270,16 +433,22 @@ def kmeans_cell_ranks(
         # loss recomputes the same integers)
         cent = materialize(upd)
 
-    cells, carrs = _collect_cents(cent)
-    ranked = grid.mapInPandas(
-        _rank_kern(cells, carrs, top=top),
-        schema="vec_id long, d long, cell long, crn long",
-    )
+    if chunked:
+        ranked = chunked_cell_ranks(grid, cent, top=top, chunk_cells=chunk_cells)
+    else:
+        cells, carrs = _collect_cents(cent)
+        ranked = grid.mapInPandas(
+            _rank_kern(cells, carrs, top=top), schema=_RANK_SCHEMA
+        )
     return materialize(ranked.select("vec_id", "cell", "d", "crn"))
 
 
 def ivf_topk_adaptive(
-    embeddings: DataFrame, k: int = 3, iters: int = 3
+    embeddings: DataFrame,
+    k: int = 3,
+    iters: int = 3,
+    assign_mode: str = "auto",
+    chunk_cells: int = CENT_CHUNK,
 ) -> DataFrame:
     """IVF top-k with the SCALE-ADAPTIVE quantizer: nlist = n/125 cells
     from the seeded integer k-means (kmeans_cell_ranks), nprobe =
@@ -303,7 +472,12 @@ def ivf_topk_adaptive(
     # kernel never materializes the n x nlist ranking (320M rows at
     # sf10) — the property test requests the full ranking explicitly
     ranked = kmeans_cell_ranks(
-        embeddings, nlist=nlist, iters=iters, top=nprobe
+        embeddings,
+        nlist=nlist,
+        iters=iters,
+        top=nprobe,
+        assign_mode=assign_mode,
+        chunk_cells=chunk_cells,
     )
     assign = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("member"), "cell"

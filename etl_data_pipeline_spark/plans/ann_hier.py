@@ -37,8 +37,10 @@ int64 squared distances, (d, cell)-ascending ties, pmod floor-division
 centroid updates — operators/ann_adaptive.py's doctrine), so the
 DuckDB oracle unrolls the full chain bit-for-bit:
 
-- level 1: seeds = every (n // nsup)-th vec_id in global rank order,
-  2 iterations (assign -> update -> final assign + probe ranking);
+- level 1: seeds = the nsup smallest (knuth-hash, vec_id) ids
+  (ann_adaptive.hash_seeds — round 13: the deterministic hash sample
+  that replaced the global-rank window), 2 iterations (assign ->
+  update -> final assign + probe ranking);
 - level 2: per supercluster s with cnt_s members, nchild_s =
   max(1, cnt_s // 125) children seeded from every (cnt_s //
   nchild_s)-th member in vec_id rank order WITHIN s, 2 iterations,
@@ -120,101 +122,240 @@ def _pin_children(cent: DataFrame) -> dict[int, tuple[list, list]]:
     return by_sup
 
 
-def _own_sup_kern(by_sup: dict):
-    """Arrow-batched level-2 assignment: each vector vs the children of
-    ITS OWN supercluster only.  Same float64-exact integer expansion as
-    ann_adaptive._rank_kern (every term < 2^53, so the BLAS matmul
-    yields the exact int64 distance); cells are cell-ascending per sup,
-    so a stable argsort realizes the (d, cell) tie order."""
+def _prep_children(by_sup: dict):
+    """{sup: (cells int64-array cell-ascending, centroids float64)}."""
     import numpy as np
-    import pandas as pd
 
-    pre = {
+    return {
         s: (np.asarray(c, "int64"), np.asarray(a, "float64"))
         for s, (c, a) in by_sup.items()
     }
+
+
+def _own_sup_batch(pre: dict, pdf):
+    """One Arrow batch of own-sup assignment (shared by the
+    closure-pinned and broadcast-chunked kernels): each vector vs the
+    children of ITS OWN supercluster only.  Same float64-exact integer
+    expansion as ann_adaptive._rank_kern (every term < 2^53, so the
+    BLAS matmul yields the exact int64 distance); cells are
+    cell-ascending per sup, so a stable argsort realizes the (d, cell)
+    tie order."""
+    import numpy as np
+    import pandas as pd
+
+    for s, sub in pdf.groupby("sup", sort=False):
+        cells, C = pre[int(s)]
+        c2 = (C * C).sum(axis=1)
+        G = np.stack(sub["g"].to_numpy()).astype("float64")
+        d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (G @ C.T)
+        best = np.argsort(d, axis=1, kind="stable")[:, 0]
+        yield pd.DataFrame(
+            {"vec_id": sub["vec_id"].to_numpy(), "cell": cells[best]}
+        )
+
+
+def _own_sup_kern(by_sup: dict):
+    """Closure-pinned own-sup assignment kernel (see _own_sup_batch)."""
+    pre = _prep_children(by_sup)
 
     def kern(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for s, sub in pdf.groupby("sup", sort=False):
-                cells, C = pre[int(s)]
-                c2 = (C * C).sum(axis=1)
-                G = np.stack(sub["g"].to_numpy()).astype("float64")
-                d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (
-                    G @ C.T
-                )
-                best = np.argsort(d, axis=1, kind="stable")[:, 0]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": sub["vec_id"].to_numpy(),
-                        "cell": cells[best],
-                    }
-                )
+            yield from _own_sup_batch(pre, pdf)
 
     return kern
+
+
+def _own_sup_kern_bc(bc):
+    """_own_sup_kern over a TorrentBroadcast chunk of the child table
+    (resolved lazily on the executor, cached per worker) — the
+    >1e5-child build path's kernel; the caller pre-filters rows to the
+    chunk's sups, so every sup a batch carries is present."""
+
+    def kern(batches):
+        pre = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pre is None:
+                pre = _prep_children(bc.value)
+            yield from _own_sup_batch(pre, pdf)
+
+    return kern
+
+
+def _probe_batch(pre: dict, ncell: int, pdf):
+    """One Arrow batch of probe-cell selection (shared by the
+    closure-pinned and broadcast-chunked kernels): a query's candidate
+    cells are the children of its probed superclusters (its ``sups``
+    array), ranked by exact integer distance, top ``ncell`` kept —
+    with the distance emitted so a chunked caller can merge per-chunk
+    candidates under the same global (d, cell) order.  Queries sharing
+    a probe set vectorize together (level-1 neighbors share top-psup
+    sets, so batches collapse to a few distinct keys).  Superclusters
+    absent from ``pre`` are skipped — emptied-by-update sups in pinned
+    mode (the oracle's inner join drops them identically), other
+    chunks' sups in chunked mode."""
+    import numpy as np
+    import pandas as pd
+
+    for ks, sub in pdf.groupby(pdf["sups"].map(tuple), sort=False):
+        have = [s for s in ks if s in pre]
+        if not have:
+            continue
+        cells = np.concatenate([pre[s][0] for s in have])
+        C = np.vstack([pre[s][1] for s in have])
+        order = np.argsort(cells, kind="stable")
+        cells, C = cells[order], C[order]
+        c2 = (C * C).sum(axis=1)
+        kk = min(ncell, len(cells))
+        G = np.stack(sub["g"].to_numpy()).astype("float64")
+        d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (G @ C.T)
+        top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        vids = sub["vec_id"].to_numpy()
+        yield pd.DataFrame(
+            {
+                "q": np.repeat(vids, kk),
+                "cell": cells[top].reshape(-1),
+                "d": np.take_along_axis(d, top, axis=1)
+                .reshape(-1)
+                .astype("int64"),
+            }
+        )
 
 
 def _probe_kern(by_sup: dict, ncell: int):
-    """Arrow-batched probe-cell selection: a query's candidate cells
-    are the children of its probed superclusters (its ``sups`` array),
-    ranked by exact integer distance, top ``ncell`` kept.  Queries
-    sharing a probe set vectorize together (level-1 neighbors share
-    top-psup sets, so batches collapse to a few distinct keys).
-    Superclusters emptied by the level-1 update are skipped — the
-    oracle's inner join drops them identically."""
-    import numpy as np
-    import pandas as pd
-
-    pre = {
-        s: (np.asarray(c, "int64"), np.asarray(a, "float64"))
-        for s, (c, a) in by_sup.items()
-    }
+    """Closure-pinned probe-cell selection kernel (see _probe_batch)."""
+    pre = _prep_children(by_sup)
 
     def kern(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for ks, sub in pdf.groupby(
-                pdf["sups"].map(tuple), sort=False
-            ):
-                have = [s for s in ks if s in pre]
-                if not have:
-                    continue
-                cells = np.concatenate([pre[s][0] for s in have])
-                C = np.vstack([pre[s][1] for s in have])
-                order = np.argsort(cells, kind="stable")
-                cells, C = cells[order], C[order]
-                c2 = (C * C).sum(axis=1)
-                kk = min(ncell, len(cells))
-                G = np.stack(sub["g"].to_numpy()).astype("float64")
-                d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (
-                    G @ C.T
-                )
-                top = np.argsort(d, axis=1, kind="stable")[:, :kk]
-                vids = sub["vec_id"].to_numpy()
-                yield pd.DataFrame(
-                    {
-                        "q": np.repeat(vids, kk),
-                        "cell": cells[top].reshape(-1),
-                    }
-                )
+            yield from _probe_batch(pre, ncell, pdf)
 
     return kern
 
 
-def ivf2_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
+def _probe_kern_bc(bc, ncell: int):
+    """_probe_kern over a TorrentBroadcast chunk of the child table —
+    emits each query's per-chunk top-ncell (a safe superset
+    participant: the global top-ncell under (d, cell) is contained in
+    the union of per-chunk top-ncells); the caller's partitioned
+    window realizes the global order."""
+
+    def kern(batches):
+        pre = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pre is None:
+                pre = _prep_children(bc.value)
+            yield from _probe_batch(pre, ncell, pdf)
+
+    return kern
+
+
+_PROBE_SCHEMA = "q long, cell long, d long"
+
+
+def _chunked_own_sup(gs: DataFrame, cent: DataFrame, chunk_cells: int) -> DataFrame:
+    """Own-sup assignment against an UNPINNED (sup, cell, carr) child
+    table — the >1e5-child escape hatch (VERDICT r12 item 1), chunked
+    by pmod(sup, nchunks).  Because every vector belongs to exactly one
+    supercluster, the chunks PARTITION the corpus: each vector is
+    assigned in exactly one branch and no merge window is needed
+    (unlike the flat chunked path).  Chunk size is approximate —
+    children per sup vary — but bounded in expectation by
+    ~chunk_cells."""
+    spark = gs.sparkSession
+    nl = cent.count()
+    if nl == 0:
+        raise ValueError("_chunked_own_sup: empty child-centroid table")
+    nchunks = -(-nl // chunk_cells)
+    parts = []
+    for ci in range(nchunks):
+        sub = cent.filter(F.pmod(F.col("sup"), F.lit(nchunks)) == ci)
+        d = _pin_children(sub)
+        if not d:
+            continue
+        bc = spark.sparkContext.broadcast(d)
+        parts.append(
+            gs.filter(F.pmod(F.col("sup"), F.lit(nchunks)) == ci)
+            .mapInPandas(_own_sup_kern_bc(bc), schema="vec_id long, cell long")
+        )
+    un = parts[0]
+    for nxt in parts[1:]:
+        un = un.unionByName(nxt)
+    return un
+
+
+def _chunked_probe(
+    pq: DataFrame, cent: DataFrame, ncell: int, chunk_cells: int
+) -> DataFrame:
+    """Probe-cell selection against an UNPINNED child table: per-chunk
+    top-ncell candidates (with exact integer d), merged by a window
+    PARTITIONED BY q under the global (d, cell) order — bit-identical
+    to the pinned kernel's selection (each chunk's stable
+    (d, cell-ascending) top-ncell is the global rule restricted to the
+    chunk)."""
+    spark = pq.sparkSession
+    nl = cent.count()
+    nchunks = max(1, -(-nl // chunk_cells))
+    parts = []
+    for ci in range(nchunks):
+        sub = cent.filter(F.pmod(F.col("sup"), F.lit(nchunks)) == ci)
+        d = _pin_children(sub)
+        if not d:
+            continue
+        bc = spark.sparkContext.broadcast(d)
+        parts.append(
+            pq.mapInPandas(_probe_kern_bc(bc, ncell), schema=_PROBE_SCHEMA)
+        )
+    un = parts[0]
+    for nxt in parts[1:]:
+        un = un.unionByName(nxt)
+    w = Window.partitionBy("q").orderBy("d", "cell")
+    return (
+        un.withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= ncell)
+        .select("q", "cell")
+    )
+
+
+def ivf2_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    assign_mode: str = "auto",
+    chunk_cells: int = None,
+) -> DataFrame:
     """Two-level IVF top-k.  Level 1 reuses the flat path's seeded
     integer k-means (kmeans_cell_ranks) verbatim with nlist=nsup and
     iters=2; level 2 runs the same iteration shape per supercluster
     with per-sup seeds and own-sup-restricted assignment; the final
-    exact scan reuses the shared per-cell cosine kernel."""
+    exact scan reuses the shared per-cell cosine kernel.
+
+    ``assign_mode`` (round 13, VERDICT r12 item 1): "auto" pins the
+    child-centroid table into kernel closures below PIN_MAX_CELLS
+    (~nlist children — every test scale) and switches to the
+    chunked-broadcast path above (_chunked_own_sup/_chunked_probe:
+    bounded ~32 MB broadcasts, bit-identical selection); level 1's
+    table is nsup ~ sqrt(nlist) rows — inside the pin budget until
+    nlist ~ 1e10, so it stays on kmeans_cell_ranks' own auto rule."""
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        CENT_CHUNK,
+        _resolve_assign_mode,
+    )
+
+    if chunk_cells is None:
+        chunk_cells = CENT_CHUNK
     n = embeddings.count()  # bounded driver pin: one scalar
     nlist = adaptive_nlist(n)
     nsup = hier_nsup(nlist)
     psup = hier_psup(nsup)
     ncell = hier_ncell(nlist, nsup)
+    chunked = _resolve_assign_mode(assign_mode, nlist)
 
     l1 = kmeans_cell_ranks(embeddings, nlist=nsup, iters=2, top=psup)
     sup = l1.filter(F.col("crn") == 1).select(
@@ -248,10 +389,13 @@ def ivf2_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
     # iteration 1: assign against seeds, pmod-floor-division update
-    assign1 = gs.mapInPandas(
-        _own_sup_kern(_pin_children(seeds)),
-        schema="vec_id long, cell long",
-    )
+    if chunked:
+        assign1 = _chunked_own_sup(gs, materialize(seeds), chunk_cells)
+    else:
+        assign1 = gs.mapInPandas(
+            _own_sup_kern(_pin_children(seeds)),
+            schema="vec_id long, cell long",
+        )
     upd = (
         assign1.join(gs, "vec_id")
         .select("sup", "cell", F.posexplode("g").alias("pos", "gv"))
@@ -275,24 +419,29 @@ def ivf2_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
             ).alias("carr")
         )
     )
-    children = _pin_children(upd)
-
-    # iteration 2 (final): members assigned against updated children
-    members = gs.mapInPandas(
-        _own_sup_kern(children), schema="vec_id long, cell long"
-    ).select(F.col("vec_id").alias("member"), "cell")
-
-    # query probing: rank the probed sups' children, scan top-ncell
+    # query probing input: rank the probed sups' children, scan top-ncell
     probes = (
         l1.filter(F.col("crn") <= psup)
         .groupBy("vec_id")
         .agg(F.array_sort(F.collect_list("cell")).alias("sups"))
     )
-    pc = (
-        gs.select("vec_id", "g")
-        .join(probes, "vec_id")
-        .mapInPandas(_probe_kern(children, ncell), schema="q long, cell long")
-    )
+    pq = gs.select("vec_id", "g").join(probes, "vec_id")
+
+    if chunked:
+        cent2 = materialize(upd)
+        # iteration 2 (final): members assigned against updated children
+        members = _chunked_own_sup(gs, cent2, chunk_cells).select(
+            F.col("vec_id").alias("member"), "cell"
+        )
+        pc = _chunked_probe(pq, cent2, ncell, chunk_cells)
+    else:
+        children = _pin_children(upd)
+        members = gs.mapInPandas(
+            _own_sup_kern(children), schema="vec_id long, cell long"
+        ).select(F.col("vec_id").alias("member"), "cell")
+        pc = pq.mapInPandas(
+            _probe_kern(children, ncell), schema=_PROBE_SCHEMA
+        ).select("q", "cell")
 
     emb = embeddings.select("vec_id", "embedding")
     tagged = (
@@ -350,21 +499,26 @@ _HIER_CHAIN = """
                  (SELECT range AS j FROM RANGE(1, 31)) t
                  WHERE (1 << t.j) <= pp.nsup)) AS psup,
              GREATEST(2, nlist // nsup) AS ncell,
-             n // nsup AS stride1
+             CAST(LEAST(4294967296, (CAST(4294967296 AS HUGEINT)
+                  * (2 * nsup + 64)) // n + 1) AS BIGINT) AS thresh1
       FROM pp
     ), grid AS (
       SELECT vec_id, i.range AS pos,
              CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000000)
                   AS BIGINT) AS gv
       FROM embeddings, RANGE(64) i
-    ), rk AS (
-      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r
+    ), hs AS (
+      SELECT vec_id,
+             ((vec_id % 4294967296) * 1327217885) % 4294967296 AS h
       FROM embeddings
+    ), cnd AS (
+      SELECT hs.vec_id,
+             ROW_NUMBER() OVER (ORDER BY hs.h, hs.vec_id) AS srn
+      FROM hs, p3 WHERE hs.h < p3.thresh1
     ), c0 AS (
-      SELECT rk.vec_id AS cell, g.pos, g.gv AS c
-      FROM rk, p3, grid g
-      WHERE g.vec_id = rk.vec_id
-        AND rk.r % p3.stride1 = 0 AND rk.r < p3.stride1 * p3.nsup
+      SELECT cnd.vec_id AS cell, g.pos, g.gv AS c
+      FROM cnd, p3, grid g
+      WHERE g.vec_id = cnd.vec_id AND cnd.srn <= p3.nsup
     ), d1 AS (
       SELECT g.vec_id, c.cell, SUM((g.gv - c.c) * (g.gv - c.c)) AS d
       FROM grid g JOIN c0 c USING (pos) GROUP BY g.vec_id, c.cell

@@ -360,26 +360,43 @@ def i9_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ivf_ann",
-    oracle="""
-    WITH p AS (
+#: Shared flat-IVF oracle chain (params -> grid -> Knuth-hash seeds
+#: -> 3-iteration integer k-means -> assign + probe), embedded by
+#: BOTH flat-IVF oracles so a one-sided edit is impossible (the
+#: _HIER_CHAIN precedent; sync-guarded by tests/test_ann_hier.py::
+#: test_ivf_oracles_share_one_chain).  Seeds (round 13, VERDICT r12
+#: item 1): the nlist smallest (h, vec_id) under the exact-integer
+#: hash h = ((vec_id % 2^32) * 1327217885) % 2^32, restricted first
+#: to h < thresh (expected 2*nlist + 64 candidates) — the verbatim
+#: mirror of operators/ann_adaptive.py::hash_seeds, which replaced
+#: the global-rank stride sample so the engine build never sorts
+#: the corpus in one task; the ROW_NUMBER here ranks only the
+#: candidate set.
+_IVF_CHAIN = """
+    p AS (
       SELECT COUNT(*) AS n,
              GREATEST(4, COUNT(*) // 125) AS nlist,
              GREATEST(2, GREATEST(4, COUNT(*) // 125) // 5) AS nprobe,
-             COUNT(*) // GREATEST(4, COUNT(*) // 125) AS stride
+             CAST(LEAST(4294967296, (CAST(4294967296 AS HUGEINT)
+                  * (2 * GREATEST(4, COUNT(*) // 125) + 64))
+                  // COUNT(*) + 1) AS BIGINT) AS thresh
       FROM embeddings
     ), grid AS (
       SELECT vec_id, i.range AS pos,
              CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000000) AS BIGINT) AS gv
       FROM embeddings, RANGE(64) i
-    ), rk AS (
-      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r FROM embeddings
+    ), hs AS (
+      SELECT vec_id,
+             ((vec_id % 4294967296) * 1327217885) % 4294967296 AS h
+      FROM embeddings
+    ), cnd AS (
+      SELECT hs.vec_id,
+             ROW_NUMBER() OVER (ORDER BY hs.h, hs.vec_id) AS srn
+      FROM hs, p WHERE hs.h < p.thresh
     ), c0 AS (
-      SELECT rk.vec_id AS cell, g.pos, g.gv AS c
-      FROM rk, p, grid g
-      WHERE g.vec_id = rk.vec_id
-        AND rk.r % p.stride = 0 AND rk.r < p.stride * p.nlist
+      SELECT cnd.vec_id AS cell, g.pos, g.gv AS c
+      FROM cnd, p, grid g
+      WHERE g.vec_id = cnd.vec_id AND cnd.srn <= p.nlist
     ), d1 AS (
       SELECT g.vec_id, c.cell, SUM((g.gv - c.c) * (g.gv - c.c)) AS d
       FROM grid g JOIN c0 c USING (pos) GROUP BY g.vec_id, c.cell
@@ -417,7 +434,16 @@ def i9_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS n, cell FROM r3 WHERE crn = 1
     ), probe AS (
       SELECT r3.vec_id AS q, r3.cell FROM r3, p WHERE r3.crn <= p.nprobe
-    ), pairs AS (
+    )
+"""
+
+
+@query(
+    "ivf_ann",
+    oracle="""
+    WITH """
+    + _IVF_CHAIN
+    + """, pairs AS (
       SELECT pr.q, a.n,
         ROUND(
           list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
@@ -441,14 +467,18 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded integer-grid Lloyd k-means (3 iterations), nprobe = nlist/5
     (~20% scan), exact cosine only inside probed cells.  See
     operators/ann_adaptive.py for the scaling calibration and the
-    exact-integer iteration contract the oracle unrolls (seeds = every
-    stride-th vec_id in rank order; assignment argmin of integer
-    squared distance, ties by cell id; floor-division centroid update).
+    exact-integer iteration contract the oracle unrolls (seeds = the
+    nlist smallest (knuth-hash, vec_id) ids — round 13's replacement
+    for the global-rank stride sample, so the build has no single-task
+    corpus sort; assignment argmin of integer squared distance, ties
+    by cell id; floor-division centroid update).  Above 1e5 cells the
+    build switches to chunked-broadcast assignment (same integers,
+    bounded memory — ann_adaptive.chunked_cell_ranks).
 
     Replaced the fixed 10-label-cell quantizer whose per-cell
     population grew with n (the round-11 ``weak`` finding): measured
-    recall@3 0.41 -> 0.733 at sf0.01, and the sf1 cell population now
-    stays ~125 instead of ~2000.
+    recall@3 0.41 -> 0.733 at sf0.01 under the r12 stride seeds
+    (hash seeds re-measured in BASELINE.md's round-13 row).
     """
     from etl_data_pipeline_spark.operators.ann_adaptive import (
         ivf_topk_adaptive,
@@ -699,61 +729,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
                       ORDER BY cosine DESC, n) AS rn FROM allp)
       WHERE rn <= 3
-    ), p AS (
-      SELECT COUNT(*) AS n,
-             GREATEST(4, COUNT(*) // 125) AS nlist,
-             GREATEST(2, GREATEST(4, COUNT(*) // 125) // 5) AS nprobe,
-             COUNT(*) // GREATEST(4, COUNT(*) // 125) AS stride
-      FROM embeddings
-    ), grid AS (
-      SELECT vec_id, i.range AS pos,
-             CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000000) AS BIGINT) AS gv
-      FROM embeddings, RANGE(64) i
-    ), rk AS (
-      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r FROM embeddings
-    ), c0 AS (
-      SELECT rk.vec_id AS cell, g.pos, g.gv AS c
-      FROM rk, p, grid g
-      WHERE g.vec_id = rk.vec_id
-        AND rk.r % p.stride = 0 AND rk.r < p.stride * p.nlist
-    ), d1 AS (
-      SELECT g.vec_id, c.cell, SUM((g.gv - c.c) * (g.gv - c.c)) AS d
-      FROM grid g JOIN c0 c USING (pos) GROUP BY g.vec_id, c.cell
-    ), a1 AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM d1) WHERE rn = 1
-    ), c1 AS (
-      SELECT a.cell, g.pos,
-             CAST((SUM(g.gv) - ((SUM(g.gv) % COUNT(*)) + COUNT(*)) % COUNT(*))
-                  // COUNT(*) AS BIGINT) AS c
-      FROM a1 a JOIN grid g USING (vec_id) GROUP BY a.cell, g.pos
-    ), d2 AS (
-      SELECT g.vec_id, c.cell, SUM((g.gv - c.c) * (g.gv - c.c)) AS d
-      FROM grid g JOIN c1 c USING (pos) GROUP BY g.vec_id, c.cell
-    ), a2 AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM d2) WHERE rn = 1
-    ), c2 AS (
-      SELECT a.cell, g.pos,
-             CAST((SUM(g.gv) - ((SUM(g.gv) % COUNT(*)) + COUNT(*)) % COUNT(*))
-                  // COUNT(*) AS BIGINT) AS c
-      FROM a2 a JOIN grid g USING (vec_id) GROUP BY a.cell, g.pos
-    ), d3 AS (
-      SELECT g.vec_id, c.cell, SUM((g.gv - c.c) * (g.gv - c.c)) AS d
-      FROM grid g JOIN c2 c USING (pos) GROUP BY g.vec_id, c.cell
-    ), r3 AS (
-      SELECT vec_id, cell,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS crn
-      FROM d3
-    ), assign AS (
-      SELECT vec_id AS n, cell FROM r3 WHERE crn = 1
-    ), probe AS (
-      SELECT r3.vec_id AS q, r3.cell FROM r3, p WHERE r3.crn <= p.nprobe
-    ), icand AS (
+    ), """
+    + _IVF_CHAIN
+    + """, icand AS (
       SELECT pr.q, a.n, ap.cosine
       FROM probe pr
       JOIN assign a ON a.cell = pr.cell AND a.n != pr.q

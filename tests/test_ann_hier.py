@@ -158,3 +158,73 @@ def test_hier_member_partition(spark, hier_frames):
     sup = l1.filter(F.col("crn") == 1)
     assert sup.count() == n
     assert sup.select("vec_id").distinct().count() == n
+
+
+def test_ivf_oracles_share_one_chain():
+    """Both flat-IVF oracles embed the SAME _IVF_CHAIN constant (the
+    _HIER_CHAIN precedent) — a one-sided seed/iteration edit cannot
+    leave the recall gate checking a stale chain."""
+    from etl_data_pipeline_spark.plans import ORACLES
+    from etl_data_pipeline_spark.plans.vectors import _IVF_CHAIN
+
+    for name in ("ivf_ann", "ivf_recall"):
+        assert _IVF_CHAIN in ORACLES[name], name
+
+
+def test_hash_seed_sql_parity():
+    """The Knuth-hash seed selection must pick the SAME ids in Python
+    (ann_adaptive.hash_seeds' arithmetic) and DuckDB (the _IVF_CHAIN /
+    _HIER_CHAIN hs+cnd CTEs) at several corpus shapes, including
+    non-dense and huge vec_ids (the hash reduces mod 2^32 first so the
+    product stays exact int64 in both engines)."""
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        seed_threshold,
+    )
+
+    for ids, nlist in (
+        (list(range(500)), 4),
+        (list(range(0, 4000, 2)), 16),
+        ([7, 99, 2**33 + 5, 2**40 + 1, 123456789, 42], 3),
+    ):
+        n = len(ids)
+        t = seed_threshold(n, nlist)
+        want = sorted(
+            ids, key=lambda v: (((v % 2**32) * 1327217885) % 2**32, v)
+        )
+        want = [v for v in want if ((v % 2**32) * 1327217885) % 2**32 < t][
+            :nlist
+        ]
+        got = [
+            r[0]
+            for r in duckdb.sql(
+                f"""
+            WITH e(vec_id) AS (SELECT UNNEST({ids})),
+            hs AS (SELECT vec_id,
+                          ((vec_id % 4294967296) * 1327217885) % 4294967296 AS h
+                   FROM e),
+            cnd AS (SELECT vec_id,
+                           ROW_NUMBER() OVER (ORDER BY h, vec_id) AS srn
+                    FROM hs WHERE h < {t})
+            SELECT vec_id FROM cnd WHERE srn <= {nlist} ORDER BY srn
+            """
+            ).fetchall()
+        ]
+        assert got == want, (nlist, got, want)
+
+
+def test_ivf2_chunked_mode_equivalence(spark, hier_frames):
+    """The chunked-broadcast build (assign_mode='chunked', tiny chunks
+    to force many branches) must be BIT-IDENTICAL to the pinned build —
+    the selection rules are the same integers either way (VERDICT r12
+    item 1 done-criterion)."""
+    from etl_data_pipeline_spark.plans.ann_hier import ivf2_topk
+
+    e, res = hier_frames
+    a = sorted(tuple(r) for r in res.collect())
+    b = sorted(
+        tuple(r)
+        for r in ivf2_topk(e, k=3, assign_mode="chunked", chunk_cells=2)
+        .collect()
+    )
+    assert a == b
+    spark.catalog.clearCache()

@@ -1045,10 +1045,16 @@ def _kmeans_mirror(rows, nlist, iters):
     ids = sorted(i for i, _ in rows)
     g = {i: [math.floor(x * 1000000) for x in v] for i, v in rows}
     n = len(ids)
-    stride = max(n // nlist, 1)
-    seeds = [
-        ids[r] for r in range(0, min(n, stride * nlist)) if r % stride == 0
-    ]
+    # round 13: deterministic Knuth-hash seed sample (ann_adaptive.
+    # hash_seeds) — candidates under the threshold, first nlist by
+    # (h, vec_id)
+    thresh = min(2**32, (2**32 * (2 * nlist + 64)) // max(n, 1) + 1)
+
+    def h(v):
+        return ((v % 2**32) * 1327217885) % 2**32
+
+    cand = sorted((i for i in ids if h(i) < thresh), key=lambda v: (h(v), v))
+    seeds = cand[:nlist]
     cent = {s: list(g[s]) for s in seeds}
 
     def dists(vid):

@@ -233,8 +233,12 @@ def _mirror_ivf(sf_dir: str, k: int = 3, iters: int = 3):
     n = len(ids)
     nlist = max(4, n // 125)
     nprobe = max(2, nlist // 5)
-    stride = max(n // nlist, 1)
-    seed_rows = [j * stride for j in range(nlist) if j * stride < n]
+    # round 13: Knuth-hash seed sample (ann_adaptive.hash_seeds)
+    thresh = min(2**32, (2**32 * (2 * nlist + 64)) // max(n, 1) + 1)
+    hv = ((ids % 2**32) * 1327217885) % 2**32
+    cand_pos = np.nonzero(hv < thresh)[0]
+    order = np.lexsort((ids[cand_pos], hv[cand_pos]))
+    seed_rows = cand_pos[order][:nlist]
     cells = ids[seed_rows].copy()
     C = G[seed_rows].copy()
     for t in range(1, iters + 1):
@@ -295,9 +299,13 @@ def _mirror_ivf2(sf_dir: str, k: int = 3):
     psup = max(2, nsup.bit_length() - 1)
     ncell = max(2, nlist // nsup)
 
-    # level 1 (iters=2: assign -> update -> final distances)
-    stride1 = max(n // nsup, 1)
-    seed_rows = [j * stride1 for j in range(nsup) if j * stride1 < n]
+    # level 1 (iters=2: assign -> update -> final distances);
+    # round 13: Knuth-hash seed sample (ann_adaptive.hash_seeds)
+    thresh1 = min(2**32, (2**32 * (2 * nsup + 64)) // max(n, 1) + 1)
+    hv = ((ids % 2**32) * 1327217885) % 2**32
+    cand_pos = np.nonzero(hv < thresh1)[0]
+    horder = np.lexsort((ids[cand_pos], hv[cand_pos]))
+    seed_rows = cand_pos[horder][:nsup]
     sups, C = ids[seed_rows].copy(), G[seed_rows].copy()
     for t in (1, 2):
         cs = np.argsort(sups)
