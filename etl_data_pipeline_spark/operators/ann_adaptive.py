@@ -297,10 +297,19 @@ def chunked_cell_ranks(
     chunk's stable (d, cell-ascending) top-kk is exactly the global
     rule restricted to the chunk, so the union contains the global
     top-kk and the final window realizes the same total order.  Cost
-    vs pinned: one extra shuffle (the merge window) per pass, and
-    nchunks plan branches — at 1e9 vectors / nlist 8M that is ~122
-    branches of 33 MB broadcasts instead of one 4 GB closure pin on
-    the driver and in every task."""
+    vs pinned, measured and modeled: the two ASSIGNMENT iterations
+    (top=1) merge by partial-aggregated groupBy-min — no candidate
+    volume at all; the final RANKING pass emits nchunks * min(top,
+    chunk_cells) candidate rows per vector through one shuffle vs the
+    pinned kernel's in-task top — a factor of nchunks when top >=
+    chunk_cells (measured the hard way: a 7-chunk sf10 run with
+    top=nprobe=320 > chunk=256 pushed n * nlist = 320M rows into the
+    merge window and exhausted the 8g rig's execution memory).  Auto
+    mode keeps that factor small where it engages: at the PIN_MAX
+    boundary (nlist ~1.3e5) nchunks = 2; deep in the chunked regime
+    the FLAT path is the documented non-scale path anyway — ivf2
+    (plans/ann_hier.py) is the production build there, and its
+    chunked pieces partition by supercluster with no merge window."""
     from pyspark.sql.window import Window
 
     spark = grid.sparkSession
@@ -322,6 +331,23 @@ def chunked_cell_ranks(
     un = parts[0]
     for nxt in parts[1:]:
         un = un.unionByName(nxt)
+    if top == 1:
+        # Argmin merge via PARTIAL AGGREGATION instead of a window:
+        # min(struct(d, cell)) is the lexicographic (d, cell) rule
+        # verbatim, combines map-side, and shuffles n pre-aggregated
+        # rows instead of n * nchunks candidates — this is the merge
+        # the two assignment iterations take, so the iteration loop
+        # adds no candidate-volume term at all.
+        return (
+            un.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cell")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.d").alias("d"),
+                F.col("m.cell").alias("cell"),
+                F.lit(1).cast("long").alias("crn"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy("d", "cell")
     ranked = un.withColumn("crn", F.row_number().over(w).cast("long"))
     if top is not None:

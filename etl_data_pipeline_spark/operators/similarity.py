@@ -658,7 +658,7 @@ def quantized_rerank(
     embeddings: DataFrame,
     k: int = 3,
     n_cand: int = 20,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """I6 compressed-domain ANN: int8-quantized candidate generation,
     exact float re-rank — the two-stage retrieval shape every production
@@ -675,8 +675,10 @@ def quantized_rerank(
     order), so it is purely a scheduling knob: an A/B sweep on this
     host (2026-08-14, sf0.1, local[32], loadavg ~5) measured 8-24
     blocks within session noise (2.0-2.6 s swing across sessions for
-    EITHER setting), so the default stays 8; at real cluster scale size
-    blocks so one block pair's matrices fit an executor's memory.
+    EITHER setting); since round 13 the default defers to knn's
+    adaptive ~2500-rows-per-block rule (_resolve_blocks) so this path
+    inherits the sf10 OOM fix like every other blocked-kernel consumer
+    (ADVICE r12) — every sf <= 1 still resolves to the measured 8.
     """
     cand = knn(spark, quantize_embeddings(embeddings), k=n_cand, n_blocks=n_blocks)
     from pyspark.sql.window import Window
@@ -951,7 +953,7 @@ def pq_rerank(
     embeddings: DataFrame,
     k: int = 3,
     n_cand: int = 50,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """PQ ANN, two-stage: candidate generation runs the blocked kernel
     over PQ-RECONSTRUCTED vectors (8 bytes of codes per vector — the

@@ -45,29 +45,38 @@ DuckDB oracle unrolls the full chain bit-for-bit:
   max(1, cnt_s // 125) children seeded from every (cnt_s //
   nchild_s)-th member in vec_id rank order WITHIN s, 2 iterations,
   assignment restricted to the member's own supercluster's children;
-- probing: psup = max(2, bit_length(nsup) - 1) superclusters (the
-  SQL mirror is max j with (1 << j) <= nsup), candidate cells = the
+- probing (round-13 calibrated budget — see hier_psup): psup =
+  min(nsup, max(2, 2 * floor(log2 nsup))) superclusters (the SQL
+  mirror is max j with (1 << j) <= nsup), candidate cells = the
   probed superclusters' children ranked by exact integer distance,
-  top ncell = max(2, nlist // nsup) scanned with the shared per-cell
-  exact-cosine kernel.
+  top ncell = max(2, 3 * (nlist // nsup)) scanned with the shared
+  per-cell exact-cosine kernel.
 
-Scale-parameter walk (nlist = max(4, n // 125)):
-  sf0.01 (n=500):  nlist 4,   nsup 2,  psup 2 (all), ncell 2 -> ~50% scan
-  sf0.1  (n=2k):   nlist 16,  nsup 4,  psup 2,       ncell 4 -> ~25%
-  sf1    (n=20k):  nlist 160, nsup 12, psup 3,       ncell 13 -> ~8%
-  sf10   (n=200k): nlist 1.6k, nsup 40, psup 5,      ncell 40 -> ~2.5%
-  1e9:             nlist 8M,  nsup 2.8k, psup 11,    ncell 2.8k -> ~0.03%
+Scale-parameter walk (nlist = max(4, n // 125); round-13 calibrated
+probe budget psup = 2*log2(nsup), ncell = 3*nlist/nsup):
+  sf0.01 (n=500):  nlist 4,   nsup 2,  psup 2 (all), ncell 6  -> full scan
+  sf0.1  (n=2k):   nlist 16,  nsup 4,  psup 4 (all), ncell 12 -> ~75%
+  sf1    (n=20k):  nlist 160, nsup 12, psup 6,       ncell 39 -> ~24%
+  sf10   (n=200k): nlist 1.6k, nsup 40, psup 10,     ncell 120 -> ~7.5%
+  1e9:             nlist 8M,  nsup 2.8k, psup 22,    ncell 8.5k -> ~0.1%
 The scan FRACTION falls with n (the flat path pins it at 20%); what
 stays constant is the ~125-vector cell population and the
-O~(sqrt(n)) per-query work.
+O~(sqrt(n)) per-query work (the calibration multiplied the budget by
+a CONSTANT — the n-dependence is unchanged).
 
-SHUFFLE/PARTITION story at scale: the only driver pins are the child
-centroid table (~nlist x 64 longs — the same budget as the flat
-path's _collect_cents, with the same >1e5-nlist shuffle-join escape
-hatch) and the two scalar counts.  Assignment and probing are
-mapInPandas over the vector partitions (no shuffle); the level-2
-update is one groupBy(sup, cell, pos); the final exact scan shuffles
-on cell — ~125-member cells by construction, so no skew.
+SHUFFLE/PARTITION story at scale: below PIN_MAX_CELLS the only
+driver pins are the child centroid table (~nlist x 64 longs) and the
+two scalar counts; above it (round 13 — the escape hatch now EXISTS)
+assignment and probing run CHUNKED (_chunked_own_sup/_chunked_probe):
+~32 MB torrent-broadcast slices of the child table, never a full pin.
+Chunked assignment needs NO merge at all — vectors partition by
+supercluster, so each is assigned in exactly one branch; only the
+probe pays a merge window (partitioned by query), emitting at most
+psup/nchunks-bounded per-chunk candidates.  Assignment and probing
+stay mapInPandas over the vector partitions (no shuffle in pinned
+mode); the level-2 update is one groupBy(sup, cell, pos); the final
+exact scan shuffles on cell — ~125-member cells by construction, so
+no skew.
 """
 
 from __future__ import annotations
@@ -97,23 +106,36 @@ def hier_nsup(nlist: int) -> int:
 
 
 def hier_psup(nsup: int) -> int:
-    """Probed superclusters = max(2, floor(log2(nsup))) — log-scaled
-    like adaptive_planes, integer bit_length so the SQL mirror
-    (max j with (1 << j) <= nsup) is boundary-exact."""
-    return max(2, nsup.bit_length() - 1)
+    """Probed superclusters = min(nsup, max(2, 2 * floor(log2 nsup)))
+    — log-scaled like adaptive_planes, integer bit_length so the SQL
+    mirror (max j with (1 << j) <= nsup) is boundary-exact.
+
+    The 2x multiplier is the round-13 probe-budget CALIBRATION (the
+    round-11 nlist methodology applied to the two-level knobs —
+    VERDICT r12 item 2): sweeping psup/ncell multipliers (pm, cm) in
+    {1,2,3}^2 at sf1 measured recall@3 0.379 (1,1 — the r12 shape),
+    0.505 (1,2), 0.582 (2,2), 0.688 (2,3), 0.716 (3,3); the (2,3)
+    knee buys +0.31 recall for a constant-factor cost increase (the
+    per-query budget stays O~(sqrt(n))), while the next step (3,3)
+    adds only +0.028.  Full table in BASELINE.md and
+    .scratch/r13_ivf2_calib_sf{0.1,1}.json."""
+    return min(nsup, max(2, 2 * max(1, nsup.bit_length() - 1)))
 
 
 def hier_ncell(nlist: int, nsup: int) -> int:
-    """Cells exact-scanned per query = max(2, nlist // nsup) — one
-    supercluster's worth of children, ~125 * sqrt(nlist) vectors."""
-    return max(2, nlist // nsup)
+    """Cells exact-scanned per query = max(2, 3 * (nlist // nsup)) —
+    three superclusters' worth of children, ~375 * sqrt(nlist)
+    vectors (the cm=3 leg of the round-13 calibration knee; see
+    hier_psup)."""
+    return max(2, 3 * (nlist // nsup))
 
 
 def _pin_children(cent: DataFrame) -> dict[int, tuple[list, list]]:
-    """Driver-pin the (sup, cell, carr) child-centroid frame as
-    {sup: (cells cell-ascending, centroid rows)} — bounded by the total
-    child count (~nlist x 64 longs, the flat path's _collect_cents
-    budget; the same >1e5-nlist escape hatch applies)."""
+    """Driver-pin a (sup, cell, carr) child-centroid frame as
+    {sup: (cells cell-ascending, centroid rows)} — bounded by the
+    caller's contract: the full ~nlist-child table in pinned mode
+    (nlist <= PIN_MAX_CELLS), one ~CENT_CHUNK slice at a time in
+    chunked mode (_chunked_own_sup/_chunked_probe)."""
     by_sup: dict[int, tuple[list, list]] = {}
     for r in sorted(cent.collect(), key=lambda r: (r["sup"], r["cell"])):
         cs, asr = by_sup.setdefault(int(r["sup"]), ([], []))
@@ -495,10 +517,10 @@ _HIER_CHAIN = """
       FROM p
     ), p3 AS (
       SELECT n, nlist, nsup,
-             GREATEST(2, (SELECT MAX(t.j) FROM
+             LEAST(nsup, GREATEST(2, 2 * (SELECT MAX(t.j) FROM
                  (SELECT range AS j FROM RANGE(1, 31)) t
-                 WHERE (1 << t.j) <= pp.nsup)) AS psup,
-             GREATEST(2, nlist // nsup) AS ncell,
+                 WHERE (1 << t.j) <= pp.nsup))) AS psup,
+             GREATEST(2, 3 * (nlist // nsup)) AS ncell,
              CAST(LEAST(4294967296, (CAST(4294967296 AS HUGEINT)
                   * (2 * nsup + 64)) // n + 1) AS BIGINT) AS thresh1
       FROM pp
@@ -662,19 +684,19 @@ def ivf2_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_exact,
            COUNT(a.q) AS n_hit,
            COUNT(a.q) / COUNT(*) AS recall,
-           COUNT(a.q) / COUNT(*) >= 0.30 AS recall_ok
+           COUNT(a.q) / COUNT(*) >= 0.5 AS recall_ok
     FROM exact e LEFT JOIN hier a ON e.q = a.q AND e.n = a.n
     """,
 )
 def ivf2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level IVF quality gate: recall@3 vs exact kNN, the sibling
     of ivf_recall/ann_recall so EVERY approximate path carries a
-    driver-checked recall number.  recall_ok pins >= 0.30 — the
-    two-level path trades recall for the O~(sqrt(n)) per-query cost
-    (module docstring), so its floor sits below the flat path's 0.45.
-    Measured recall@3 (DuckDB chain, engine hash-identical): 0.787 at
-    sf0.001, 0.807 at sf0.01 (the driver's check point), 0.545 at
-    sf0.1; the sf1 value is in BASELINE.md's two-level table.
+    driver-checked recall number.  recall_ok pins >= 0.5 — raised from
+    the r12 0.30 floor by the round-13 probe-budget calibration
+    (hier_psup docstring): under the (2,3) knee the measured recall@3
+    is 0.949 at sf0.1 and 0.688 at sf1, clearing the flat path's 0.45
+    bar while keeping the O~(sqrt(n)) per-query cost (the r12 shape
+    read 0.380 at sf1).  Full table in BASELINE.md.
 
     Both legs are the registered operators themselves (blocked exact
     kernel; ivf2_topk), so the row certifies retrieval quality
@@ -694,5 +716,5 @@ def ivf2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_hit",
         (F.col("n_hit") / F.col("n_exact")).alias("recall"),
-        ((F.col("n_hit") / F.col("n_exact")) >= 0.30).alias("recall_ok"),
+        ((F.col("n_hit") / F.col("n_exact")) >= 0.5).alias("recall_ok"),
     )

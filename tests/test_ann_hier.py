@@ -46,10 +46,10 @@ def test_hier_parameter_parity_cross_engine():
                               WHERE t.j * t.j <= {nlist})) END AS nsup
             )
             SELECT nsup,
-                   GREATEST(2, (SELECT MAX(t.j) FROM
+                   LEAST(nsup, GREATEST(2, 2 * (SELECT MAX(t.j) FROM
                        (SELECT range AS j FROM RANGE(1, 31)) t
-                       WHERE (1 << t.j) <= pp.nsup)),
-                   GREATEST(2, nlist // nsup)
+                       WHERE (1 << t.j) <= pp.nsup))),
+                   GREATEST(2, 3 * (nlist // nsup))
             FROM pp
             """
         ).fetchone()
@@ -118,10 +118,10 @@ def test_hier_topk_invariants(spark, hier_frames):
 
 
 def test_hier_recall_not_worse_than_floor(spark, hier_frames):
-    """The registered recall gate's 0.30 floor holds with margin at the
-    test sf (measured 0.787 at sf0.001 / 0.807 at sf0.01 — the driver
-    checks the latter), so the pin catches a real quantizer regression
-    rather than noise."""
+    """The registered recall gate's 0.5 floor (raised from 0.30 by the
+    round-13 probe-budget calibration) holds with margin at the test
+    sf, so the pin catches a real quantizer regression rather than
+    noise."""
     from etl_data_pipeline_spark.operators.similarity import knn
 
     e, res = hier_frames

@@ -59,12 +59,12 @@ SKIP: dict[str, str] = {
     "embedding_neardup": (
         "oracle is all-pairs cosine (400M pairs) — mirror-checked"
     ),
-    "ann_recall": "recall oracle recomputes exact kNN (all pairs)",
-    "ann_multiprobe_recall": "recall oracle recomputes exact kNN (all pairs)",
-    "ivf_recall": "recall oracle recomputes exact kNN (all pairs)",
-    "pq_recall": "recall oracle recomputes exact kNN (all pairs)",
-    "pq_ann": "SDC oracle scans all PQ-code pairs (400M)",
-    "i6c_quantized_rerank": "oracle scans all quantized pairs (400M)",
+    "ann_recall": "recall oracle recomputes exact kNN (all pairs) — mirror-checked",
+    "ann_multiprobe_recall": "recall oracle recomputes exact kNN (all pairs) — mirror-checked",
+    "ivf_recall": "recall oracle recomputes exact kNN (all pairs) — mirror-checked",
+    "pq_recall": "recall oracle recomputes exact kNN (all pairs) — mirror-checked",
+    "pq_ann": "SDC oracle scans all PQ-code pairs (400M) — mirror-checked",
+    "i6c_quantized_rerank": "oracle scans all quantized pairs (400M) — mirror-checked",
     "ivf_ann": (
         "unrolled k-means oracle joins 205M rows x 3 iterations "
         "(measured 240s+ in DuckDB at sf1) — mirror-checked"
@@ -79,7 +79,7 @@ SKIP: dict[str, str] = {
         "two-level unrolled k-means oracle + ~32M candidate-pair "
         "cosines (the ivf_ann oracle class) — mirror-checked"
     ),
-    "ivf2_recall": "recall oracle recomputes exact kNN (all pairs)",
+    "ivf2_recall": "recall oracle recomputes exact kNN (all pairs) — mirror-checked",
     # -- text/graph pair oracles whose join volume grows ~(10x)^2 with
     # the corpus (50k docs at sf1).  *i4b is mirror-checked below.
     "i4b_minhash_lsh": (
@@ -97,7 +97,7 @@ SKIP: dict[str, str] = {
     "neardup_link_predict": "link prediction over the all-pairs graph",
     "pagerank_neardup": "pagerank over the all-pairs near-dup graph",
     "kcore_peel": "k-core peel over the all-pairs near-dup graph",
-    "pretrain_corpus": "end-to-end DAG embeds i4b (oracle spills >80 GB)",
+    "pretrain_corpus": "oracle trigram self-join spills at sf1 — mirror-checked (full-DAG Python mirror)",
     "pack_greedy": (
         "oracle is a row-recursive CTE (one iteration per document — "
         "50k steps at sf1, measured oracle-timeout) — mirror-checked"
@@ -281,9 +281,13 @@ def _mirror_ivf2(sf_dir: str, k: int = 3):
     rank order WITHIN the sup), probing = children of the top-psup
     sups ranked by exact integer distance with (d, cell) ties, top
     ncell scanned with rounded-6 cosine and (cos desc, n) ties."""
-    from math import isqrt
-
     import numpy as np
+
+    from etl_data_pipeline_spark.plans.ann_hier import (
+        hier_ncell,
+        hier_nsup,
+        hier_psup,
+    )
 
     con = duckdb.connect()
     df = con.sql(
@@ -295,9 +299,11 @@ def _mirror_ivf2(sf_dir: str, k: int = 3):
     G = np.floor(E * 1e6).astype("int64")
     n = len(ids)
     nlist = max(4, n // 125)
-    nsup = max(2, isqrt(nlist))
-    psup = max(2, nsup.bit_length() - 1)
-    ncell = max(2, nlist // nsup)
+    # parameter rules imported from the module so the mirror cannot
+    # drift when the probe budget is recalibrated (round 13 lesson)
+    nsup = hier_nsup(nlist)
+    psup = hier_psup(nsup)
+    ncell = hier_ncell(nlist, nsup)
 
     # level 1 (iters=2: assign -> update -> final distances);
     # round 13: Knuth-hash seed sample (ann_adaptive.hash_seeds)
@@ -474,6 +480,216 @@ def _mirror_pack_greedy(sf_dir: str, budget: int = 256):
     }
 
 
+
+
+def _load_emb(sf_dir: str):
+    """(ids int64 ascending, E float64 matrix) for the mirror family."""
+    import numpy as np
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    ids = df["vec_id"].astype("int64")
+    E = np.stack([np.asarray(e, dtype="float64") for e in df["embedding"]])
+    return ids, E
+
+
+def _exact3_pairs(ids, E, k: int = 3):
+    """Exact top-k neighbor PAIR SET {(q, n)} by (rounded-6 cos desc,
+    id asc) — the exact leg every recall gate shares.  Row-chunked
+    matmuls (1000 x n), never the full n^2 matrix."""
+    import numpy as np
+
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    n = len(ids)
+    pairs = set()
+    for lo in range(0, n, 1000):
+        hi = min(lo + 1000, n)
+        C = np.round(N[lo:hi] @ N.T, 6)
+        for r in range(hi - lo):
+            C[r, lo + r] = -np.inf  # mask self
+            o = np.lexsort((ids, -C[r]))[:k]
+            q = int(ids[lo + r])
+            for j in o:
+                pairs.add((q, int(ids[j])))
+    return pairs
+
+
+def _recall_row(exact_pairs, approx_pairs):
+    """(n_exact, n_hit, recall) with the engines' exact float division."""
+    n_exact = len(exact_pairs)
+    n_hit = len(exact_pairs & approx_pairs)
+    return n_exact, n_hit, n_hit / n_exact
+
+
+def _mirror_lsh_single(sf_dir: str, k: int = 3):
+    """numpy mirror of SINGLE-probe LSH top-k (ann_lsh semantics:
+    adaptive planes, md5-integer projections, in-bucket rounded-6
+    cosine, (cos desc, id) ties) — _mirror_multiprobe without the
+    Hamming shell; used by the ann_recall gate mirror."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        adaptive_planes,
+    )
+
+    ids, E = _load_emb(sf_dir)
+    n, planes = len(ids), adaptive_planes(len(ids))
+    m = np.abs(E).max(axis=1)
+    scale = np.where(m == 0, 1.0, m)
+    q = np.floor(E * 127.0 / scale[:, None] + 0.5)
+    w = np.array([
+        [int(hashlib.md5(f"{j}_{p}".encode()).hexdigest()[:8], 16)
+         % 2001 - 1000 for p in range(64)]
+        for j in range(planes)
+    ], dtype="float64")
+    bucket = (((q @ w.T) > 0) << np.arange(planes)).sum(axis=1).astype(
+        "int64"
+    )
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    pairs = set()
+    for b in np.unique(bucket):
+        rows = np.nonzero(bucket == b)[0]
+        if len(rows) < 2:
+            continue
+        C = np.round(N[rows] @ N[rows].T, 6)
+        for r in range(len(rows)):
+            C[r, r] = -np.inf
+            o = np.lexsort((ids[rows], -C[r]))[:k]
+            o = [j for j in o if C[r, j] > -np.inf]
+            for j in o:
+                pairs.add((int(ids[rows[r]]), int(ids[rows[j]])))
+    return pairs
+
+
+def _mirror_pq(sf_dir: str, k: int = 3, n_cand: int = 50):
+    """numpy mirror of the FULL scale-adaptive PQ retrieval
+    (operators/ann_adaptive.py::pq_rerank_adaptive): int8 quantize,
+    n_codes = max(16, n/125) seed codebook (lowest vec_ids), exact
+    integer subspace argmin with (dist, code) ties, decode, rounded-6
+    SDC candidate top-n_cand with (qcos desc, n) ties, exact rounded-6
+    float rerank to top-k."""
+    import numpy as np
+
+    ids, E = _load_emb(sf_dir)
+    n = len(ids)
+    n_codes = max(16, n // 125)
+    m = np.abs(E).max(axis=1)
+    scale = np.where(m == 0, 1.0, m)
+    q8 = np.floor(E * 127.0 / scale[:, None] + 0.5)  # integer-valued
+    # seeds: the n_codes LOWEST vec_ids (ids are ascending)
+    cb = q8[:n_codes].reshape(n_codes, 16, 4).transpose(1, 0, 2)  # (16,nc,4)
+    X = q8.reshape(n, 16, 4)
+    codes = np.empty((n, 16), dtype="int64")
+    for s in range(16):
+        Xs, Cs = X[:, s, :], cb[s]
+        ds = ((Xs * Xs).sum(1)[:, None] + (Cs * Cs).sum(1)[None, :]
+              - 2.0 * (Xs @ Cs.T))
+        codes[:, s] = ds.argmin(axis=1)  # first min = lowest code id
+    dec = cb[np.arange(16)[None, :], codes].reshape(n, 64)
+    Nd = dec / np.linalg.norm(dec, axis=1, keepdims=True)
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = {}
+    for lo in range(0, n, 1000):
+        hi = min(lo + 1000, n)
+        Dq = np.round(Nd[lo:hi] @ Nd.T, 6)
+        for r in range(hi - lo):
+            i = lo + r
+            Dq[r, i] = -np.inf
+            cand = np.lexsort((ids, -Dq[r]))[:n_cand]
+            cos = np.round(N[i] @ N[cand].T, 6)
+            o = np.lexsort((ids[cand], -cos))[:k]
+            out[int(ids[i])] = [
+                (int(ids[cand][j]), float(cos[j])) for j in o
+            ]
+    return out
+
+
+def _mirror_i6c(sf_dir: str, k: int = 3, n_cand: int = 20):
+    """numpy mirror of the quantized-rerank path (i6c): int8-quantized
+    rounded-6 cosine candidate top-20 per query with (qcos desc, n)
+    ties, exact rounded-6 float rerank to top-3."""
+    import numpy as np
+
+    ids, E = _load_emb(sf_dir)
+    n = len(ids)
+    m = np.abs(E).max(axis=1)
+    scale = np.where(m == 0, 1.0, m)
+    q8 = np.floor(E * 127.0 / scale[:, None] + 0.5)
+    Nq = q8 / np.linalg.norm(q8, axis=1, keepdims=True)
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = {}
+    for lo in range(0, n, 1000):
+        hi = min(lo + 1000, n)
+        Cq = np.round(Nq[lo:hi] @ Nq.T, 6)
+        for r in range(hi - lo):
+            i = lo + r
+            Cq[r, i] = -np.inf
+            cand = np.lexsort((ids, -Cq[r]))[:n_cand]
+            cos = np.round(N[i] @ N[cand].T, 6)
+            o = np.lexsort((ids[cand], -cos))[:k]
+            out[int(ids[i])] = [
+                (int(ids[cand][j]), float(cos[j])) for j in o
+            ]
+    return out
+
+
+def _mirror_pretrain(sf_dir: str):
+    """Pure-Python mirror of the FLAGSHIP end-to-end DAG
+    (plans/pipelines.py::pretrain_corpus): sha-exact dedup keep-min,
+    word-trigram decontamination against the doc_id%97 eval slice,
+    Knuth-hash mixture sampling, per-(lang, source) fingerprint.
+    All-integer/exact-string semantics — no floats except the one
+    hash/2^32 < rate comparison, mirrored bit-for-bit."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    # 1. exact dedup: keep-min doc_id per exact text (sha2 keying is
+    # injective on the corpus, so grouping by text is the same answer)
+    seen: dict[str, int] = {}
+    docs = []
+    for doc_id, text, lang, source in rows:  # doc_id ascending
+        if text in seen:
+            continue
+        seen[text] = doc_id
+        docs.append((doc_id, text, lang, source))
+    # 2. trigram decontamination
+    tris: dict[int, set] = {}
+    for doc_id, text, _l, _s in docs:
+        s = text.split(" ")
+        tris[doc_id] = {
+            " ".join(s[i:i + 3]) for i in range(len(s) - 2)
+        }
+    ev: set = set()
+    for doc_id, tr in tris.items():
+        if doc_id % 97 == 0:
+            ev |= tr
+    clean = [
+        (doc_id, text, lang, source)
+        for doc_id, text, lang, source in docs
+        if doc_id % 97 != 0 and not (tris[doc_id] & ev)
+    ]
+    # 3. mixture sample: u = (id * 2654435761 % 2^32) / 2^32 < rate
+    rates = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+    out: dict[tuple, list] = {}
+    for doc_id, text, lang, source in clean:
+        u = ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+        if not (u < rates.get(lang, 0.05)):
+            continue
+        agg = out.setdefault((lang, source), [0, 0])
+        agg[0] += 1
+        agg[1] += len(text.split(" "))
+    return {
+        (lang, source, n, tot) for (lang, source), (n, tot) in out.items()
+    }
+
+
 def run_mirrors(spark, qs, sf_dir: str, results: dict,
                 names: set[str] | None = None) -> int:
     """The mirror-mode checks; returns the number of failures.
@@ -604,6 +820,107 @@ def run_mirrors(spark, qs, sf_dir: str, results: dict,
         record("pack_greedy", got_packs == want_packs, len(got_packs),
                time.monotonic() - t0)
     spark.catalog.clearCache()
+
+    # ---- round-13 additions (VERDICT r12 items 3 & 4) ----
+    quality = {"ivf_recall", "ivf2_recall", "ann_recall",
+               "ann_multiprobe_recall", "pq_recall"}
+    if names is None or (quality & names):
+        t0 = time.monotonic()
+        _ids, _E = _load_emb(sf_dir)
+        exact3 = _exact3_pairs(_ids, _E)
+        prep_q = time.monotonic() - t0
+
+    def check_recall(name, approx_pairs, prep_secs):
+        t0 = time.monotonic()
+        n_exact, n_hit, recall = _recall_row(exact3, approx_pairs)
+        row = qs[name](spark, sf_dir).collect()[0]
+        match = (
+            row["n_exact"] == n_exact
+            and row["n_hit"] == n_hit
+            and row["recall"] == recall
+        )
+        record(name, match, 1, prep_secs + time.monotonic() - t0,
+               detail=f"recall={recall:.4f}")
+        spark.catalog.clearCache()
+
+    if want("ivf_recall"):
+        t0 = time.monotonic()
+        ivf_pairs = {
+            (q, n)
+            for q, lst in _mirror_ivf(sf_dir).items()
+            for (n, _c, _r) in lst
+        }
+        check_recall("ivf_recall", ivf_pairs, time.monotonic() - t0)
+
+    if want("ivf2_recall"):
+        t0 = time.monotonic()
+        ivf2_pairs = {
+            (q, n)
+            for q, lst in _mirror_ivf2(sf_dir).items()
+            for (n, _c, _r) in lst
+        }
+        check_recall("ivf2_recall", ivf2_pairs, time.monotonic() - t0)
+
+    if want("ann_recall"):
+        t0 = time.monotonic()
+        lsh_pairs = _mirror_lsh_single(sf_dir)
+        check_recall("ann_recall", lsh_pairs, time.monotonic() - t0)
+
+    if want("ann_multiprobe_recall"):
+        t0 = time.monotonic()
+        mp_pairs = {
+            (q, n)
+            for q, lst in _mirror_multiprobe(sf_dir).items()
+            for (n, _c, _r) in lst
+        }
+        check_recall("ann_multiprobe_recall", mp_pairs,
+                     time.monotonic() - t0)
+
+    if want("pq_ann") or want("pq_recall"):
+        t0 = time.monotonic()
+        pq_want = _mirror_pq(sf_dir)
+        pq_prep = time.monotonic() - t0
+        if want("pq_ann"):
+            t0 = time.monotonic()
+            got_pq: dict[int, list] = {}
+            for r in qs["pq_ann"](spark, sf_dir).collect():
+                got_pq.setdefault(r["vec_id"], []).append(
+                    (r["neighbor"], r["cosine"])
+                )
+            spark.catalog.clearCache()
+            match = got_pq == {q: v for q, v in pq_want.items() if v}
+            record("pq_ann", match, sum(map(len, got_pq.values())),
+                   pq_prep + time.monotonic() - t0)
+        if want("pq_recall"):
+            pq_pairs = {
+                (q, n) for q, lst in pq_want.items() for (n, _c) in lst
+            }
+            check_recall("pq_recall", pq_pairs, pq_prep)
+
+    if want("i6c_quantized_rerank"):
+        t0 = time.monotonic()
+        i6c_want = _mirror_i6c(sf_dir)
+        got_i6c: dict[int, list] = {}
+        for r in qs["i6c_quantized_rerank"](spark, sf_dir).collect():
+            got_i6c.setdefault(r["vec_id"], []).append(
+                (r["neighbor"], r["cosine"])
+            )
+        spark.catalog.clearCache()
+        match = got_i6c == {q: v for q, v in i6c_want.items() if v}
+        record("i6c_quantized_rerank", match,
+               sum(map(len, got_i6c.values())), time.monotonic() - t0)
+
+    if want("pretrain_corpus"):
+        t0 = time.monotonic()
+        fp_want = _mirror_pretrain(sf_dir)
+        got_fp = {
+            (r["lang"], r["source"], r["n_docs"], r["total_tokens"])
+            for r in qs["pretrain_corpus"](spark, sf_dir).collect()
+        }
+        spark.catalog.clearCache()
+        record("pretrain_corpus", got_fp == fp_want, len(got_fp),
+               time.monotonic() - t0)
+
     return fails
 
 
@@ -648,6 +965,13 @@ def main(argv=None) -> None:
         for r in results.values():
             modes[r["mode"]] = modes.get(r["mode"], 0) + 1
         prior["modes"] = modes
+        # keep the headline skip list in sync when a mirror drains it
+        # (a merged mirror row replaces the skip entry in results)
+        prior["skips"] = {
+            k: r.get("reason", SKIP.get(k, ""))
+            for k, r in sorted(results.items())
+            if r["mode"] in ("skip", "oracle-timeout", "oracle-error")
+        }
         with open(out_path, "w") as fh:
             json.dump(prior, fh, indent=1)
         print(f"merged mirrors into {out_path}")
