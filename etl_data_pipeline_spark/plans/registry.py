@@ -58,64 +58,70 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 12 (second session): set MECHANICALLY from
-    # COVERAGE_AUDIT.json summary.suggested_priority.  Head: the two
-    # never-checked round-12 additions (two-level IVF, plans/
-    # ann_hier.py), then the touched-since-check cohort (the adaptive
-    # ANN family incl. the round's three PQ scale fixes, the shared
-    # shingle helper, the lang_id hashed-model rewrite, a18), then the
-    # oldest-evidence rotation covering the entire remaining
-    # infra-certified-only cohort (VERDICT r11 item 3).
-    "ivf2_ann",
+    # -- round 13: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  Head: the 23-query touched cohort
+    # (the round's ANN build rewrite — hash seeding + chunked
+    # assignment — dirtied the whole vectors/similarity family), then
+    # the oldest-evidence rotation over the r7 tier (h2-h6 scalar
+    # functions, the j5-j11 streaming block, i4/i4b/i4c, the near-dup
+    # graph family).  36 queries tie at r7 evidence and only 27 slots
+    # remain after the touched cohort; the audit's within-tier order is
+    # deterministic (alphabetical), which leaves q3_topk_join /
+    # q5_multi_join / pretrain_corpus / neardup_triangles /
+    # pagerank_neardup (+4 more) as the r14 overflow — q5 (SURVEY S2
+    # row C7) is the one S2 row still on r7 driver evidence after this
+    # window; it was spot-checked green this session
+    # (.scratch/r13_q5_spotcheck.log) and heads the r14 rotation.
+    "i6c_quantized_rerank",
+    "cosine_topk",
+    "embedding_neardup",
     "ivf2_recall",
-    "pq_ann",
-    "pq_recall",
-    "ann_lsh",
-    "ann_multiprobe",
-    "ann_multiprobe_recall",
-    "ann_recall",
     "ivf_ann",
     "ivf_recall",
-    "decontaminate",
-    "a18_parquet_stats",
-    "lang_id",
-    "lang_id_confusion",
-    "decontaminate_bloom",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "bloom_membership",
-    "c8c_asof_nearest",
-    "cusum_changepoint",
-    "event_transition_matrix",
-    "funnel_latency",
-    "h9_collation",
-    "heavy_hitters_mg",
-    "interval_coverage",
-    "ivm_incremental_agg",
-    "j13_stream_static_enrich",
-    "j3b_dynamic_gap_session",
-    "k9_grouped_apply_in_arrow",
-    "mm_audio_energy",
-    "mm_image_histogram",
-    "robust_zscore_mad",
-    "sales_mart",
-    "session_path_trigrams",
-    "sql_execute_immediate",
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "sql_scripting",
-    "sql_variables",
-    "anomaly_p95",
-    "c8_asof_join",
-    "containment_pairs",
-    "corpus_curation",
-    "daily_active_cumulative",
-    "distinct_agg",
-    "e5_running_distinct",
-    "funnel_conversion",
-    "gap_fill_locf",
-    "h1_string_funcs",
-    "h1b_string_funcs_more",
+    "ivf2_ann",
+    "pq_ann",
+    "pq_recall",
+    "i7_knn",
+    "ann_multiprobe_recall",
+    "ann_recall",
+    "ann_lsh",
+    "ann_multiprobe",
+    "mmr_diversified_topk",
+    "hybrid_rrf_search",
+    "i6b_cosine_topk_hof",
+    "i8_centroid_classify",
+    "i8b_centroid_accuracy",
+    "kmeans_lloyd",
+    "embedding_clip_stats",
+    "i9_multimodal_join",
+    "vector_centroids",
+    "h1c_regexp_extract_all",
+    "h2_datetime_funcs",
+    "h2b_datetime_funcs_more",
+    "h3_math_funcs",
+    "h4_array_funcs",
+    "h5_map_funcs",
+    "h6_json_extract",
+    "h6b_from_json",
+    "hash_split",
+    "i4_jaccard_pairs",
+    "i4b_minhash_lsh",
+    "i4c_ngram_jaccard",
+    "j10_stream_session_windows",
+    "j11_stream_update_counts",
+    "j5_stream_watermark",
+    "j6_stream_dedup",
+    "j7_stateful_totals",
+    "j8_foreach_batch_sink",
+    "j9_stream_stream_join",
+    "kcore_peel",
+    "lsh_bucket_stats",
+    "minhash_est_quality",
+    "mm_decode_audio",
+    "mm_resize",
+    "neardup_clusters",
+    "neardup_degree_hist",
+    "neardup_link_predict",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained
