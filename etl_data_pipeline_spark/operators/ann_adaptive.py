@@ -64,6 +64,8 @@ selects pin/chunked explicitly for A/B and tests, "auto" by nlist.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,12 +94,20 @@ SCAN_DIV = 5
 #: escape hatch the round-12 docstrings promised — VERDICT r12 item 1).
 PIN_MAX_CELLS = 100_000
 
+#: Ceiling for auto-mode PIPELINED assignment (round 14): every worker
+#: process eventually caches all chunk broadcasts, ~nlist x 64 float64
+#: = ~135 MB per worker at this bound — comfortable on any executor
+#: profile; above it the chunked-union path keeps per-task memory at
+#: one ~32 MB chunk.
+PIPE_MAX_CELLS = 262_144
+
 #: Cells per chunk in chunked mode: 65536 x 64 longs = 32 MB per
 #: broadcast — executor-comfortable, and at 1e9 vectors (nlist = 8M)
 #: only ~122 chunks / union branches.
 CENT_CHUNK = 65536
 
-#: Knuth multiplicative seed hash: floor(2^31 * golden ratio), odd.
+#: Knuth multiplicative seed hash: round(2^31 * (phi - 1)) =
+#: 1327217885 (odd; the floor, 1327217884, is even — ADVICE r13).
 #: Chosen < 2^31 so (vec_id % 2^32) * KNUTH32 < 2^63 stays EXACT int64
 #: in both engines at any BIGINT vec_id (the 32-bit golden constant
 #: 2654435761 overflows int64 past vec_id % 2^32 ~ 3.5e9 — rejected).
@@ -108,10 +118,14 @@ _M32 = 4294967296  # 2^32 — the hash modulus
 
 def seed_hash_col():
     """h(vec_id) = ((vec_id % 2^32) * KNUTH32) % 2^32 as a Column —
-    exact integer arithmetic, identical in Spark and DuckDB (the SQL
-    mirror is the same expression verbatim).  Reducing mod 2^32 BEFORE
-    the multiply changes nothing for ids < 2^32 ((q*2^32 + r) * K ==
-    r * K (mod 2^32)) and keeps the product inside int64 beyond."""
+    exact integer arithmetic, identical in Spark and DuckDB.  Reducing
+    mod 2^32 BEFORE the multiply changes nothing for ids < 2^32
+    ((q*2^32 + r) * K == r * K (mod 2^32)) and keeps the product inside
+    int64 beyond.  ``F.pmod`` is non-negative while DuckDB's ``%``
+    keeps the dividend's sign, so the SQL mirror spells the inner
+    reduction ``((vec_id % m + m) % m)`` — identical for ids >= 0 and
+    pmod-equal for negative BIGINT ids (ADVICE r13; negative-id case in
+    tests/test_ann_hier.py::test_hash_seed_sql_parity)."""
     return F.pmod(
         F.pmod(F.col("vec_id"), F.lit(_M32)) * F.lit(KNUTH32), F.lit(_M32)
     )
@@ -232,24 +246,64 @@ def _rank_kern(cells, carrs, top: int | None):
     return kern
 
 
+#: Cells per in-kernel distance block: the kernel's transient distance
+#: matrix is batch x _CELL_BLOCK doubles (~160 MB at Arrow's default
+#: 10k-row batch), HOWEVER many cells the task ranks against.  Before
+#: round 14 the matrix was batch x n_cells in one allocation — ~8 GB
+#: per task at the PIN_MAX_CELLS boundary, a latent single-task OOM the
+#: pipelined-mode work surfaced.  Blocking changes no result: blocks
+#: are ascending slices of the cell-ascending table, so a stable
+#: argsort over the block-ordered candidate concat realizes the exact
+#: (d, cell) total order (same argument as the chunked-mode merge).
+_CELL_BLOCK = 2048
+
+
+def _topk_cells(G, g2, C, c2, cell_ids, kk):
+    """Running top-``kk`` (d, cell)-ascending cells per row of ``G``,
+    computed one _CELL_BLOCK-wide distance block at a time.  ``C`` must
+    be cell-ascending (both callers collect it that way).  Returns
+    (D, CE): row-aligned matrices of the kk smallest distances and
+    their cell ids in exact (d, cell) order."""
+    import numpy as np
+
+    parts_d, parts_c = [], []
+    for s in range(0, len(cell_ids), _CELL_BLOCK):
+        Cb, c2b, ib = C[s : s + _CELL_BLOCK], c2[s : s + _CELL_BLOCK], cell_ids[s : s + _CELL_BLOCK]
+        d = g2 + c2b[None, :] - 2.0 * (G @ Cb.T)
+        kb = min(kk, d.shape[1])
+        # stable argsort on d: ib is ascending, so ties resolve
+        # cell-ascending WITHIN the block
+        order = np.argsort(d, axis=1, kind="stable")[:, :kb]
+        parts_d.append(np.take_along_axis(d, order, axis=1))
+        parts_c.append(ib[order])
+    if len(parts_d) == 1:
+        return parts_d[0], parts_c[0]
+    # blocks are ascending cell RANGES, so block-ordered concat + one
+    # stable argsort on d is again the exact (d, cell) order; the
+    # candidate set is only nblocks x kk wide
+    D = np.concatenate(parts_d, axis=1)
+    CE = np.concatenate(parts_c, axis=1)
+    order = np.argsort(D, axis=1, kind="stable")[:, :kk]
+    return np.take_along_axis(D, order, axis=1), np.take_along_axis(CE, order, axis=1)
+
+
 def _rank_batch(pdf, C, c2, cell_ids, kk):
     """One Arrow batch of _rank_kern's exact integer ranking (shared by
-    the closure-pinned and broadcast-chunked kernels so the two modes
-    cannot drift): top-kk (d, cell)-ascending cells per vector."""
+    the closure-pinned, broadcast-chunked and pipelined kernels so the
+    modes cannot drift): top-kk (d, cell)-ascending cells per vector."""
     import numpy as np
     import pandas as pd
 
     G = np.stack(pdf["g"].to_numpy()).astype("float64")
-    d = (G * G).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (G @ C.T)
-    order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+    g2 = (G * G).sum(axis=1)[:, None]
+    D, CE = _topk_cells(G, g2, C, c2, cell_ids, kk)
+    kk = D.shape[1]
     vids = pdf["vec_id"].to_numpy()
     return pd.DataFrame(
         {
             "vec_id": np.repeat(vids, kk),
-            "d": np.take_along_axis(d, order, axis=1)
-            .reshape(-1)
-            .astype("int64"),
-            "cell": cell_ids[order].reshape(-1),
+            "d": D.reshape(-1).astype("int64"),
+            "cell": CE.reshape(-1),
             "crn": np.tile(np.arange(1, kk + 1, dtype="int64"), len(vids)),
         }
     )
@@ -278,6 +332,96 @@ def _rank_kern_bc(bc, top: int | None):
 
 
 _RANK_SCHEMA = "vec_id long, d long, cell long, crn long"
+
+
+def _rank_kern_multi(bcs, top: int | None):
+    """Pipelined-mode kernel: rank against EVERY chunk broadcast in one
+    pass over the corpus, merging per-chunk top-kk candidates in-task.
+
+    Per chunk: the shared cell-blocked _topk_cells selection (chunks are
+    cell-ascending, so per-chunk order is exact).  Across chunks: chunks
+    are pmod-interleaved, NOT ascending ranges, so the cross-chunk merge
+    lexsorts the narrow candidate concat by (d, cell) — at most
+    nchunks x kk wide — realizing the same global total order the
+    chunked mode's merge window/groupBy-min produces.  Memory: one
+    chunk's matrices are resident at a time transiently, but each
+    Broadcast caches its deserialized value in the worker process, so a
+    long-lived worker converges to FULL centroid residency (~nlist x 64
+    doubles) — the documented trade vs chunked mode's nchunks corpus
+    passes + merge shuffle; auto mode therefore caps this path at
+    PIPE_MAX_CELLS."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            G = np.stack(pdf["g"].to_numpy()).astype("float64")
+            g2 = (G * G).sum(axis=1)[:, None]
+            parts_d, parts_c = [], []
+            for bc in bcs:
+                cells_l, carrs_l = bc.value
+                C = np.asarray(carrs_l, dtype="float64")
+                cell_ids = np.asarray(cells_l, dtype="int64")
+                c2 = (C * C).sum(axis=1)
+                kk_c = len(cell_ids) if top is None else min(top, len(cell_ids))
+                D, CE = _topk_cells(G, g2, C, c2, cell_ids, kk_c)
+                parts_d.append(D)
+                parts_c.append(CE)
+            D = np.concatenate(parts_d, axis=1)
+            CE = np.concatenate(parts_c, axis=1)
+            kk = D.shape[1] if top is None else min(top, D.shape[1])
+            # lexsort: primary d, ties by cell ascending (exact global order)
+            order = np.lexsort((CE, D), axis=1)[:, :kk]
+            Dk = np.take_along_axis(D, order, axis=1)
+            CEk = np.take_along_axis(CE, order, axis=1)
+            vids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, kk),
+                    "d": Dk.reshape(-1).astype("int64"),
+                    "cell": CEk.reshape(-1),
+                    "crn": np.tile(np.arange(1, kk + 1, dtype="int64"), len(vids)),
+                }
+            )
+
+    return kern
+
+
+def pipelined_cell_ranks(
+    grid: DataFrame,
+    cent: DataFrame,
+    top: int | None,
+    chunk_cells: int = CENT_CHUNK,
+) -> DataFrame:
+    """Cell ranking against an unpinned centroid table, PIPELINED
+    (round 14, VERDICT r13 item 4): all chunks are collected and
+    torrent-broadcast up front (the same bounded ~32 MB driver pins as
+    chunked mode, just not interleaved with compute), then ONE
+    mapInPandas pass ranks every vector against every chunk and merges
+    in-task.  vs chunked mode this deletes (a) the nchunks scans of the
+    (cached) corpus — the union plan runs one mapInPandas branch per
+    chunk — and (b) the merge shuffle entirely (no groupBy-min, no
+    per-vec_id window: the kernel emits final global ranks).  The cost
+    is executor-side residency: every worker process eventually caches
+    all chunk values (~nlist x 64 doubles total), so auto mode uses
+    this path only up to PIPE_MAX_CELLS and falls back to chunked-union
+    above it.  Bit-identical to pinned/chunked by the same argument as
+    the chunked merge (asserted by the mode-equivalence tests)."""
+    spark = grid.sparkSession
+    nl = cent.count()
+    if nl == 0:
+        raise ValueError("pipelined_cell_ranks: empty centroid table")
+    nchunks = -(-nl // chunk_cells)
+    bcs = []
+    for ci in range(nchunks):
+        sub = cent.filter(F.pmod(F.col("cell"), F.lit(nchunks)) == ci)
+        cells, carrs = _collect_cents(sub)
+        if not cells:
+            continue
+        bcs.append(spark.sparkContext.broadcast((cells, carrs)))
+    return grid.mapInPandas(_rank_kern_multi(bcs, top), schema=_RANK_SCHEMA)
 
 
 def chunked_cell_ranks(
@@ -309,7 +453,19 @@ def chunked_cell_ranks(
     boundary (nlist ~1.3e5) nchunks = 2; deep in the chunked regime
     the FLAT path is the documented non-scale path anyway — ivf2
     (plans/ann_hier.py) is the production build there, and its
-    chunked pieces partition by supercluster with no merge window."""
+    chunked pieces partition by supercluster with no merge window.
+
+    Broadcast lifetime (ADVICE r13): the per-chunk broadcasts feed a
+    LAZY plan — no action runs inside this function or the build loop
+    (materialize/persist is itself lazy), and lineage-kept recompute
+    after executor loss may re-read any chunk — so there is no safe
+    point here to ``unpersist()`` them.  Reclamation is deliberately
+    left to Spark's ContextCleaner: once the returned plan is
+    unreferenced, the Python Broadcast handles (held only by the
+    kernel closures) are GC'd and the executor copies are dropped.
+    Peak accumulation is bounded: nchunks x ~32 MB per pass (~4 GB at
+    nlist = 8M) on executors that in the same regime hold the corpus
+    itself."""
     from pyspark.sql.window import Window
 
     spark = grid.sparkSession
@@ -368,17 +524,45 @@ def _collect_cents(cent: DataFrame):
     )
 
 
-def _resolve_assign_mode(assign_mode: str, nlist: int) -> bool:
-    """True = chunked.  "auto" pins below PIN_MAX_CELLS (today's test
-    scales: zero behavior change) and chunks above; "pin"/"chunked"
-    force a mode for A/B and the mode-equivalence tests."""
-    if assign_mode == "pin":
-        return False
-    if assign_mode == "chunked":
-        return True
+def _resolve_assign_mode(assign_mode: str, nlist: int) -> str:
+    """Returns "pin" | "pipelined" | "chunked".  "auto" pins below
+    PIN_MAX_CELLS (today's test scales: zero behavior change), runs
+    PIPELINED between PIN_MAX_CELLS and PIPE_MAX_CELLS (one corpus
+    pass, no merge shuffle, full-centroid worker residency — round 14),
+    and falls back to chunked-union above (bounded per-task memory);
+    explicit modes force a path for A/B and the mode-equivalence tests.
+
+    ``SPARK_GRAFT_ASSIGN_MODE`` / ``SPARK_GRAFT_CHUNK_CELLS`` (round
+    14, VERDICT r13 item 6) are process-level forcing hooks for
+    harnesses that can only address a REGISTERED query by name — the
+    executor-loss chaos battery runs ``ivf2_ann`` in a subprocess and
+    needs the chunked broadcast path engaged at sf0.1's tiny nlist.
+    Results are mode-invariant (the equivalence tests' contract), so
+    the override can never change a hash, only the physical plan."""
+    env = os.environ.get("SPARK_GRAFT_ASSIGN_MODE")
+    if env:
+        assign_mode = env
+    if assign_mode in ("pin", "chunked", "pipelined"):
+        return assign_mode
     if assign_mode != "auto":
-        raise ValueError(f"assign_mode must be auto|pin|chunked, got {assign_mode!r}")
-    return nlist > PIN_MAX_CELLS
+        raise ValueError(
+            "assign_mode must be auto|pin|pipelined|chunked, "
+            f"got {assign_mode!r}"
+        )
+    if nlist <= PIN_MAX_CELLS:
+        return "pin"
+    if nlist <= PIPE_MAX_CELLS:
+        return "pipelined"
+    return "chunked"
+
+
+def resolve_chunk_cells(requested: int) -> int:
+    """Chunk-size forcing twin of the assign-mode env hook: a tiny
+    ``SPARK_GRAFT_CHUNK_CELLS`` makes even sf0.1's nlist split into
+    multiple broadcast chunks, which is what the chaos gate needs to
+    kill an executor DURING a multi-chunk pass."""
+    env = os.environ.get("SPARK_GRAFT_CHUNK_CELLS")
+    return int(env) if env else requested
 
 
 def kmeans_cell_ranks(
@@ -418,19 +602,23 @@ def kmeans_cell_ranks(
     """
     grid = materialize(grid_vectors(embeddings))
     n = grid.count()
-    chunked = _resolve_assign_mode(assign_mode, nlist)
+    mode = _resolve_assign_mode(assign_mode, nlist)
+    chunk_cells = resolve_chunk_cells(chunk_cells)
+    rank = {
+        "pin": lambda c, top: grid.mapInPandas(
+            _rank_kern(*_collect_cents(c), top=top), schema=_RANK_SCHEMA
+        ),
+        "pipelined": lambda c, top: pipelined_cell_ranks(
+            grid, c, top=top, chunk_cells=chunk_cells
+        ),
+        "chunked": lambda c, top: chunked_cell_ranks(
+            grid, c, top=top, chunk_cells=chunk_cells
+        ),
+    }[mode]
     cent = materialize(hash_seeds(grid, n, nlist))
 
     for _ in range(iters - 1):
-        if chunked:
-            assign = chunked_cell_ranks(
-                grid, cent, top=1, chunk_cells=chunk_cells
-            ).select("vec_id", "cell")
-        else:
-            cells, carrs = _collect_cents(cent)
-            assign = grid.mapInPandas(
-                _rank_kern(cells, carrs, top=1), schema=_RANK_SCHEMA
-            ).select("vec_id", "cell")
+        assign = rank(cent, 1).select("vec_id", "cell")
         upd = (
             assign.join(grid, "vec_id")
             .select("cell", F.posexplode("g").alias("pos", "gv"))
@@ -459,13 +647,7 @@ def kmeans_cell_ranks(
         # loss recomputes the same integers)
         cent = materialize(upd)
 
-    if chunked:
-        ranked = chunked_cell_ranks(grid, cent, top=top, chunk_cells=chunk_cells)
-    else:
-        cells, carrs = _collect_cents(cent)
-        ranked = grid.mapInPandas(
-            _rank_kern(cells, carrs, top=top), schema=_RANK_SCHEMA
-        )
+    ranked = rank(cent, top)
     return materialize(ranked.select("vec_id", "cell", "d", "crn"))
 
 

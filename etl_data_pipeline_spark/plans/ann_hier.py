@@ -290,7 +290,10 @@ def _chunked_own_sup(gs: DataFrame, cent: DataFrame, chunk_cells: int) -> DataFr
     assigned in exactly one branch and no merge window is needed
     (unlike the flat chunked path).  Chunk size is approximate —
     children per sup vary — but bounded in expectation by
-    ~chunk_cells."""
+    ~chunk_cells.  Per-chunk broadcasts are reclaimed by
+    ContextCleaner when the returned lazy plan dies — see
+    operators/ann_adaptive.py::chunked_cell_ranks for why no earlier
+    unpersist() point exists (ADVICE r13)."""
     spark = gs.sparkSession
     nl = cent.count()
     if nl == 0:
@@ -321,7 +324,8 @@ def _chunked_probe(
     PARTITIONED BY q under the global (d, cell) order — bit-identical
     to the pinned kernel's selection (each chunk's stable
     (d, cell-ascending) top-ncell is the global rule restricted to the
-    chunk)."""
+    chunk).  Broadcast lifetime: ContextCleaner-reclaimed with the
+    plan — see chunked_cell_ranks (ADVICE r13)."""
     spark = pq.sparkSession
     nl = cent.count()
     nchunks = max(1, -(-nl // chunk_cells))
@@ -368,16 +372,21 @@ def ivf2_topk(
     from etl_data_pipeline_spark.operators.ann_adaptive import (
         CENT_CHUNK,
         _resolve_assign_mode,
+        resolve_chunk_cells,
     )
 
     if chunk_cells is None:
         chunk_cells = CENT_CHUNK
+    chunk_cells = resolve_chunk_cells(chunk_cells)
     n = embeddings.count()  # bounded driver pin: one scalar
     nlist = adaptive_nlist(n)
     nsup = hier_nsup(nlist)
     psup = hier_psup(nsup)
     ncell = hier_ncell(nlist, nsup)
-    chunked = _resolve_assign_mode(assign_mode, nlist)
+    # the two-level build has no pipelined variant (its chunked pieces
+    # already partition by sup with no merge window), so any non-pin
+    # resolution takes the chunked path here
+    chunked = _resolve_assign_mode(assign_mode, nlist) != "pin"
 
     l1 = kmeans_cell_ranks(embeddings, nlist=nsup, iters=2, top=psup)
     sup = l1.filter(F.col("crn") == 1).select(
@@ -531,7 +540,8 @@ _HIER_CHAIN = """
       FROM embeddings, RANGE(64) i
     ), hs AS (
       SELECT vec_id,
-             ((vec_id % 4294967296) * 1327217885) % 4294967296 AS h
+             ((vec_id % 4294967296 + 4294967296) % 4294967296
+              * 1327217885) % 4294967296 AS h
       FROM embeddings
     ), cnd AS (
       SELECT hs.vec_id,

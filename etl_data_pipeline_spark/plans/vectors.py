@@ -387,7 +387,8 @@ _IVF_CHAIN = """
       FROM embeddings, RANGE(64) i
     ), hs AS (
       SELECT vec_id,
-             ((vec_id % 4294967296) * 1327217885) % 4294967296 AS h
+             ((vec_id % 4294967296 + 4294967296) % 4294967296
+              * 1327217885) % 4294967296 AS h
       FROM embeddings
     ), cnd AS (
       SELECT hs.vec_id,

@@ -185,6 +185,10 @@ def test_hash_seed_sql_parity():
         (list(range(500)), 4),
         (list(range(0, 4000, 2)), 16),
         ([7, 99, 2**33 + 5, 2**40 + 1, 123456789, 42], 3),
+        # negative BIGINT ids: Spark pmod vs DuckDB sign-keeping % —
+        # the SQL mirror's ((vec_id % m + m) % m) must pick the SAME
+        # seeds (ADVICE r13)
+        ([-1, -7, -(2**33) - 5, 0, 3, 2**40 + 1, -123456789], 3),
     ):
         n = len(ids)
         t = seed_threshold(n, nlist)
@@ -200,7 +204,8 @@ def test_hash_seed_sql_parity():
                 f"""
             WITH e(vec_id) AS (SELECT UNNEST({ids})),
             hs AS (SELECT vec_id,
-                          ((vec_id % 4294967296) * 1327217885) % 4294967296 AS h
+                          ((vec_id % 4294967296 + 4294967296) % 4294967296
+              * 1327217885) % 4294967296 AS h
                    FROM e),
             cnd AS (SELECT vec_id,
                            ROW_NUMBER() OVER (ORDER BY h, vec_id) AS srn
@@ -228,3 +233,63 @@ def test_ivf2_chunked_mode_equivalence(spark, hier_frames):
     )
     assert a == b
     spark.catalog.clearCache()
+
+
+def test_env_forcing_hooks(monkeypatch):
+    """The chaos battery's process-level forcing hooks (round 14,
+    VERDICT r13 item 6) must override the call-site mode/chunk-size —
+    and stay inert when unset."""
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        PIN_MAX_CELLS,
+        _resolve_assign_mode,
+        resolve_chunk_cells,
+    )
+
+    from etl_data_pipeline_spark.operators.ann_adaptive import (
+        PIPE_MAX_CELLS,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ASSIGN_MODE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CHUNK_CELLS", raising=False)
+    assert _resolve_assign_mode("auto", 10) == "pin"
+    assert _resolve_assign_mode("auto", PIN_MAX_CELLS + 1) == "pipelined"
+    assert _resolve_assign_mode("auto", PIPE_MAX_CELLS + 1) == "chunked"
+    assert resolve_chunk_cells(65536) == 65536
+
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_MODE", "chunked")
+    monkeypatch.setenv("SPARK_GRAFT_CHUNK_CELLS", "32")
+    assert _resolve_assign_mode("auto", 10) == "chunked"
+    assert _resolve_assign_mode("pin", 10) == "chunked"  # env wins over caller
+    assert resolve_chunk_cells(65536) == 32
+
+
+def test_topk_cells_blocked_matches_bruteforce(monkeypatch):
+    """The cell-blocked kernel selection (round 14: bounded transient
+    distance matrix) must equal the one-shot brute-force (d, cell)
+    selection, including d-ties across block boundaries."""
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators import ann_adaptive as aa
+
+    rng = np.random.RandomState(7)
+    monkeypatch.setattr(aa, "_CELL_BLOCK", 3)  # force many blocks
+    for trial in range(20):
+        n, m = rng.randint(2, 12), rng.randint(1, 17)
+        # small integer grid so d-ties are common
+        G = rng.randint(-2, 3, size=(n, 4)).astype("float64")
+        C = rng.randint(-2, 3, size=(m, 4)).astype("float64")
+        cell_ids = np.sort(rng.choice(10_000, size=m, replace=False)).astype("int64")
+        g2 = (G * G).sum(axis=1)[:, None]
+        c2 = (C * C).sum(axis=1)
+        kk = int(rng.randint(1, m + 2))
+        D, CE = aa._topk_cells(G, g2, C, c2, cell_ids, kk)
+        # brute force: full matrix, lexsort by (d, cell)
+        d_full = g2 + c2[None, :] - 2.0 * (G @ C.T)
+        order = np.lexsort((np.broadcast_to(cell_ids, d_full.shape), d_full), axis=1)
+        keep = min(kk, m)
+        want_d = np.take_along_axis(d_full, order, axis=1)[:, :keep]
+        want_c = np.take_along_axis(
+            np.broadcast_to(cell_ids, d_full.shape), order, axis=1
+        )[:, :keep]
+        assert np.array_equal(D, want_d), trial
+        assert np.array_equal(CE, want_c), trial

@@ -875,3 +875,54 @@ def test_flat_ivf_chunked_mode_equivalence(spark):
     )
     assert qa == qb and len(qa) > 0
     spark.catalog.clearCache()
+    # pipelined mode (round 14): same integers, one corpus pass,
+    # in-kernel merge — must also be bit-identical in both shapes
+    c = sorted(
+        tuple(r)
+        for r in kmeans_cell_ranks(
+            e, nlist=4, iters=3, top=2, assign_mode="pipelined", chunk_cells=2
+        ).collect()
+    )
+    assert c == a
+    spark.catalog.clearCache()
+    qc = sorted(
+        tuple(r)
+        for r in ivf_topk_adaptive(
+            e, k=3, assign_mode="pipelined", chunk_cells=2
+        ).collect()
+    )
+    assert qc == qa
+    spark.catalog.clearCache()
+
+
+def test_blocked_kernels_blocking_invariant(spark):
+    """The blocked all-pairs kernels must return IDENTICAL results at
+    any block count (ADVICE r13: _resolve_blocks made the default
+    data-dependent — max(8, n // 2500) — so the claim that n_blocks is
+    purely a scheduling knob needs a regression test).  Each query
+    meets every other vector in exactly one block pair and the final
+    merge takes the global top under one total order, so n_blocks in
+    {2, 8, None} must hash-match for every consumer."""
+    from etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_pairs,
+        embedding_neardup,
+        knn,
+        quantized_rerank,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn, kwargs in (
+        (knn, {"k": 3}),
+        (cosine_topk_pairs, {"k": 5}),
+        (embedding_neardup, {"min_cos": 0.2}),
+        (quantized_rerank, {"k": 3, "n_cand": 10}),
+    ):
+        base = rows(fn(spark, e, n_blocks=2, **kwargs))
+        assert len(base) > 0, fn.__name__
+        for nb in (8, None):
+            got = rows(fn(spark, e, n_blocks=nb, **kwargs))
+            assert got == base, (fn.__name__, nb)

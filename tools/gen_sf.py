@@ -252,12 +252,47 @@ def gen(sf: float, out_dir: str, tables: set[str] | None = None) -> None:
     }))
 
 
+def gen_pretrain_variant(src_dir: str, out_dir: str) -> None:
+    """documents-only variant for the pretrain_corpus sf1 mirror
+    (round 14, VERDICT r13 item 5): the same corpus, but every token of
+    the ``doc_id % 97 == 0`` eval slice is prefixed ``ev_``, making the
+    eval trigram vocabulary DISJOINT from the training docs.  On the
+    base sf1 corpus the small synthetic vocabulary saturates the eval
+    trigram set (16,992 trigrams hit all 49,401 non-eval docs) and the
+    flagship DAG's output is legitimately empty — weak end-to-end
+    evidence.  On this variant decontamination keeps a non-empty
+    corpus, so all four stages are certified on non-degenerate output.
+    Deterministic (pure string transform of the deterministic base)."""
+    import pandas as pd  # noqa: F401 — via to_pandas
+
+    src = Path(src_dir) / "documents.parquet"
+    df = pa.parquet.read_table(src).to_pandas()
+    mask = df["doc_id"] % 97 == 0
+    df.loc[mask, "text"] = df.loc[mask, "text"].map(
+        lambda s: " ".join("ev_" + w for w in s.split(" "))
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pa.parquet.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        out / "documents.parquet",
+    )
+    print(f"  pretrain variant: {mask.sum()} eval docs re-vocabed -> {out}")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--tables")]
     tables = None
     for a in sys.argv[1:]:
         if a.startswith("--tables="):
             tables = set(a.split("=", 1)[1].split(","))
+    if args and args[0] == "pretrain-variant":
+        gen_pretrain_variant(
+            args[1] if len(args) > 1 else "/root/repo/.scratch/sf1",
+            args[2] if len(args) > 2 else "/root/repo/.scratch/sf1_pretrain",
+        )
+        return
     sf = float(args[0]) if args else 1.0
     out = args[1] if len(args) > 1 else f"/root/repo/.scratch/sf{sf:g}"
     print(f"generating sf={sf:g} -> {out}"

@@ -273,6 +273,26 @@ def main() -> None:
         env={"SPARK_GRAFT_CHECKPOINT_DIR": ""},
         timeout=1800,
     )
+    _run(
+        # Round 14 (VERDICT r13 item 6): eighth mode — the CHUNKED
+        # broadcast-assignment path under executor loss.  Modes 6/7
+        # kill the PINNED builds; above PIN_MAX_CELLS the build ships
+        # centroid state via sc.broadcast, whose re-delivery to a
+        # relaunched executor is a different recovery path (torrent
+        # re-fetch from the driver, then lineage recompute of the
+        # mapInPandas output).  Forced chunked at a tiny chunk size so
+        # sf0.1's nlist splits into multiple broadcasts.  PASS = the
+        # post-kill run's hash equals the tool's own (chunked) baseline
+        # run; chunked == pinned is separately pinned by the
+        # mode-equivalence tests.
+        "executor-loss chaos (chunked broadcast assignment)",
+        [py, str(_REPO / "tools" / "chaos_executor_loss.py"),
+         "ivf2_ann", "/root/testdata/sf0.1", "auto"],
+        env={"SPARK_GRAFT_CHECKPOINT_DIR": "",
+             "SPARK_GRAFT_ASSIGN_MODE": "chunked",
+             "SPARK_GRAFT_CHUNK_CELLS": "32"},
+        timeout=1800,
+    )
     _run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     if not fast:
         _run(
