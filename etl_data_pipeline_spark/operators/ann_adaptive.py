@@ -271,6 +271,15 @@ def _topk_cells(G, g2, C, c2, cell_ids, kk):
         Cb, c2b, ib = C[s : s + _CELL_BLOCK], c2[s : s + _CELL_BLOCK], cell_ids[s : s + _CELL_BLOCK]
         d = g2 + c2b[None, :] - 2.0 * (G @ Cb.T)
         kb = min(kk, d.shape[1])
+        if kb == 1:
+            # assignment fast path: argmin's first-occurrence-of-min on
+            # the cell-ascending block IS the (d, cell) rule, at O(n)
+            # instead of the argsort's O(n log n)
+            j = np.argmin(d, axis=1)
+            rows = np.arange(d.shape[0])
+            parts_d.append(d[rows, j][:, None])
+            parts_c.append(ib[j][:, None])
+            continue
         # stable argsort on d: ib is ascending, so ties resolve
         # cell-ascending WITHIN the block
         order = np.argsort(d, axis=1, kind="stable")[:, :kb]
