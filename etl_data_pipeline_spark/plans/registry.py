@@ -58,70 +58,67 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 13: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  Head: the 23-query touched cohort
-    # (the round's ANN build rewrite — hash seeding + chunked
-    # assignment — dirtied the whole vectors/similarity family), then
-    # the oldest-evidence rotation over the r7 tier (h2-h6 scalar
-    # functions, the j5-j11 streaming block, i4/i4b/i4c, the near-dup
-    # graph family).  36 queries tie at r7 evidence and only 27 slots
-    # remain after the touched cohort; the audit's within-tier order is
-    # deterministic (alphabetical), which leaves q3_topk_join /
-    # q5_multi_join / pretrain_corpus / neardup_triangles /
-    # pagerank_neardup (+4 more) as the r14 overflow — q5 (SURVEY S2
-    # row C7) is the one S2 row still on r7 driver evidence after this
-    # window; it was spot-checked green this session
-    # (.scratch/r13_q5_spotcheck.log) and heads the r14 rotation.
-    "i6c_quantized_rerank",
-    "cosine_topk",
-    "embedding_neardup",
+    # -- round 14: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  Head: the touched cohort (36 names —
+    # this round's ANN-kernel cell-blocking/pipelined-mode work plus
+    # the i4b token-distinct deletion dirtied the vectors AND dedup
+    # families), then the r7 oldest-evidence cohort IN FULL (q3/q5/
+    # pretrain_corpus/resample_ohlc/pagerank_neardup/neardup_triangles/
+    # scd2 — VERDICT r13 item 2 done), then the r8 tier alphabetically
+    # (cohort_retention in; the j1-j4 events block did not fit the 50
+    # slots behind the forced touched cohort and leads the r15
+    # rotation — VERDICT r13 item 7 deferred by the audit's mechanical
+    # prescription, which the --check gate pins verbatim).
+    "ivf2_ann",
     "ivf2_recall",
     "ivf_ann",
     "ivf_recall",
-    "ivf2_ann",
-    "pq_ann",
-    "pq_recall",
-    "i7_knn",
-    "ann_multiprobe_recall",
-    "ann_recall",
-    "ann_lsh",
-    "ann_multiprobe",
-    "mmr_diversified_topk",
-    "hybrid_rrf_search",
-    "i6b_cosine_topk_hof",
-    "i8_centroid_classify",
-    "i8b_centroid_accuracy",
-    "kmeans_lloyd",
-    "embedding_clip_stats",
-    "i9_multimodal_join",
-    "vector_centroids",
-    "h1c_regexp_extract_all",
-    "h2_datetime_funcs",
-    "h2b_datetime_funcs_more",
-    "h3_math_funcs",
-    "h4_array_funcs",
-    "h5_map_funcs",
-    "h6_json_extract",
-    "h6b_from_json",
-    "hash_split",
-    "i4_jaccard_pairs",
+    "neardup_triangles",
+    "pagerank_neardup",
     "i4b_minhash_lsh",
-    "i4c_ngram_jaccard",
-    "j10_stream_session_windows",
-    "j11_stream_update_counts",
-    "j5_stream_watermark",
-    "j6_stream_dedup",
-    "j7_stateful_totals",
-    "j8_foreach_batch_sink",
-    "j9_stream_stream_join",
     "kcore_peel",
-    "lsh_bucket_stats",
     "minhash_est_quality",
-    "mm_decode_audio",
-    "mm_resize",
     "neardup_clusters",
     "neardup_degree_hist",
     "neardup_link_predict",
+    "lsh_bucket_stats",
+    "ann_lsh",
+    "ann_multiprobe",
+    "ann_multiprobe_recall",
+    "ann_recall",
+    "pq_ann",
+    "pq_recall",
+    "cosine_topk",
+    "embedding_clip_stats",
+    "embedding_neardup",
+    "hybrid_rrf_search",
+    "i6b_cosine_topk_hof",
+    "i7_knn",
+    "i8_centroid_classify",
+    "i8b_centroid_accuracy",
+    "i9_multimodal_join",
+    "kmeans_lloyd",
+    "mmr_diversified_topk",
+    "vector_centroids",
+    "pretrain_corpus",
+    "q3_topk_join",
+    "q5_multi_join",
+    "resample_ohlc",
+    "scd2_point_in_time_join",
+    "a10_orc_roundtrip",
+    "a11_text_roundtrip",
+    "a12_zstd_parquet",
+    "a13_compact_small_files",
+    "a14_clustered_layout",
+    "a15_file_lineage",
+    "a16_fixed_width",
+    "a9_python_datasource",
+    "bucketed_join",
+    "c4b_shuffle_hash_hint",
+    "c8b_asof_forward",
+    "cohort_retention",
+    "dpp_partition_pruned_join",
+    "event_debounce",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained
