@@ -51,6 +51,9 @@ _PLAN_MODULES = [
     # round 12: two-level (hierarchical) IVF — same §2.2 rationale,
     # same new-module isolation.
     "etl_data_pipeline_spark.plans.ann_hier",
+    # round 15: incremental near-dup against a persisted LSH index
+    # (VERDICT r14 item 5) — same new-module isolation.
+    "etl_data_pipeline_spark.plans.incremental",
 ]
 
 #: Explicit front-of-window ordering for the driver's correctness run

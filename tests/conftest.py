@@ -26,6 +26,17 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_assign_mode_env(monkeypatch):
+    """ADVICE r14 (ann_adaptive env hooks): a leaked
+    SPARK_GRAFT_ASSIGN_MODE / SPARK_GRAFT_CHUNK_CELLS would silently
+    turn the A/B mode-equivalence tests into same-mode comparisons.
+    Clear the forcing hooks for EVERY test; a test that wants them
+    sets them explicitly via monkeypatch (test_ann_hier.py does)."""
+    monkeypatch.delenv("SPARK_GRAFT_ASSIGN_MODE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CHUNK_CELLS", raising=False)
+
+
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()

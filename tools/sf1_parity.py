@@ -1094,7 +1094,11 @@ def run_mirrors(spark, qs, sf_dir: str, results: dict,
         match = match and var_match
         detail += (f"; variant(disjoint eval vocab): {len(var_got)} rows, "
                    f"match={var_match}")
-        record("pretrain_corpus", match, len(var_got) or len(got_fp),
+        # ADVICE r14: the recorded row count is the BASE fixture's
+        # output (legitimately 0 at sf1 — stage-verified above); the
+        # variant fixture's count lives only in the detail string so
+        # the two fixtures are never conflated in one metric.
+        record("pretrain_corpus", match, len(got_fp),
                time.monotonic() - t0, detail=detail)
 
 

@@ -157,6 +157,29 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
 
 SKIP_UNLESS_ALL = {"i6b_cosine_topk_hof"}
 
+#: VERDICT r14 nit: the artifact header must reconcile to the full
+#: registry (n_queries measured + skipped + fails = n_registered), so
+#: every standing skip carries its documented reason HERE, not only in
+#: round prose.  i6b is the deliberately-naive per-row HOF comparator
+#: kept as a cost model (quadratic by definition, interpreted per
+#: element): at sf0.1 it alone costs ~2 min of a 35-min sweep to
+#: re-prove a cost model that EXPECTED_SUPERLINEAR already documents
+#: and the sf0.01 driver window still checks for correctness each
+#: rotation.  SPARK_GRAFT_SWEEP_ALL=1 re-includes every skip.
+SKIP_REASONS = {
+    "i6b_cosine_topk_hof": (
+        "deliberately-naive all-pairs HOF comparator kept as a cost "
+        "model; quadratic by definition and interpreter-bound, so the "
+        "sweep skips it below SPARK_GRAFT_SWEEP_ALL (driver-checked "
+        "at sf0.01 each rotation; see EXPECTED_SUPERLINEAR)"
+    ),
+    "i4c_ngram_jaccard": (
+        "sf>=1 only: exact all-pairs bigram verifier, n^2 cost model "
+        "measured twice (sf0.1 8.2 s, sf1 305.7 s ~ 10% of the whole "
+        "sf1 sweep); stays in every sub-sf1 sweep"
+    ),
+}
+
 #: Skipped only when the BIG side of the sweep is sf>=1 (VERDICT r11
 #: item 4 — the i6b treatment at scale): i4c is the deliberately-exact
 #: bigram all-pairs verifier whose n^2 cost model is already documented
@@ -227,10 +250,15 @@ def _reclassify(out_path, key_small: str, key_big: str, check: bool) -> None:
     for name, r in results.items():
         r.update(classify(name, r[key_small], r[key_big]))
     out.update(_derived_fields(results, key_big))
+    load_all_plans()
+    out["n_registered"] = len(QUERIES)
+    out["skip_reasons"] = {
+        n: SKIP_REASONS.get(n, "") for n in out.get("skipped", [])
+    }
     out["results"] = {k: v for k, v in sorted(results.items())}
     out_path.write_text(json.dumps(out, indent=1))
     print(json.dumps({k: out[k] for k in (
-        "n_queries", "fails", "flagged", "watch",
+        "n_registered", "n_queries", "fails", "flagged", "watch",
         "expected_superlinear_hits")}, indent=1))
     print(f"reclassified {out_path}")
     if check and (out["flagged"] or out["fails"]):
@@ -311,9 +339,15 @@ def main() -> None:
             f"both requiring t({key_big}) >= {FLAG_MIN_SEC}s, minus "
             "documented cost models"
         ),
+        # Reconciliation (VERDICT r14 nit): n_registered counts the
+        # WHOLE registry; n_queries counts measured results, so
+        # n_queries + len(skipped) + len(fails) = n_registered on a
+        # full sweep and every skip is named with its reason below.
+        "n_registered": len(QUERIES),
         "n_queries": len(results),
         "fails": fails,
         "skipped": skipped,
+        "skip_reasons": {n: SKIP_REASONS.get(n, "") for n in skipped},
         **_derived_fields(results, key_big),
         "results": {k: v for k, v in sorted(results.items())},
     }
@@ -323,7 +357,7 @@ def main() -> None:
     print(
         json.dumps(
             {k: out[k] for k in (
-                "n_queries", "fails", "flagged", "watch",
+                "n_registered", "n_queries", "fails", "flagged", "watch",
                 "expected_superlinear_hits",
             )},
             indent=1,
