@@ -357,32 +357,43 @@ def _rank_kern_multi(bcs, top: int | None):
     pass over the corpus, merging per-chunk top-kk candidates in-task.
 
     Per chunk: the shared cell-blocked _topk_cells selection (chunks are
-    cell-ascending, so per-chunk order is exact).  Across chunks: chunks
-    are pmod-interleaved, NOT ascending ranges, so the cross-chunk merge
-    lexsorts the narrow candidate concat by (d, cell) — at most
-    nchunks x kk wide — realizing the same global total order the
-    chunked mode's merge window/groupBy-min produces.  Memory: one
-    chunk's matrices are resident at a time transiently, but each
-    Broadcast caches its deserialized value in the worker process, so a
-    long-lived worker converges to FULL centroid residency (~nlist x 64
-    doubles) — the documented trade vs chunked mode's nchunks corpus
-    passes + merge shuffle; auto mode therefore caps this path at
-    PIPE_MAX_CELLS."""
+    cell-ascending, so per-chunk order is exact).  Across chunks: the
+    cross-chunk merge lexsorts the narrow candidate concat by (d, cell)
+    — at most nchunks x kk wide — realizing the same global total order
+    the chunked mode's merge window/groupBy-min produces, whatever the
+    chunk partition (since round 15 chunks are ascending cell RANGES,
+    so block-ordered concat would suffice, but the lexsort's cost on
+    the kk-wide candidate set is negligible and it stays correct for
+    ANY partition of the cells).  Memory: each Broadcast caches its
+    deserialized value in the worker process, so a long-lived worker
+    converges to FULL centroid residency (~nlist x 64 doubles) — the
+    documented trade vs chunked mode's nchunks corpus passes + merge
+    shuffle; auto mode therefore caps this path at PIPE_MAX_CELLS.
+
+    ADVICE r14 (hoisting): the Python-list broadcast payloads are
+    converted to (C, c2, cell_ids) numpy arrays ONCE PER TASK, on the
+    first non-empty Arrow batch — not per batch per chunk, which was
+    an O(nlist x 64) list walk re-run every ~10k rows.  Lazy (not at
+    closure build) so empty partitions never deserialize a broadcast."""
     import numpy as np
     import pandas as pd
 
     def kern(batches):
+        conv = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if conv is None:
+                conv = []
+                for bc in bcs:
+                    cells_l, carrs_l = bc.value
+                    C = np.asarray(carrs_l, dtype="float64")
+                    cell_ids = np.asarray(cells_l, dtype="int64")
+                    conv.append((C, (C * C).sum(axis=1), cell_ids))
             G = np.stack(pdf["g"].to_numpy()).astype("float64")
             g2 = (G * G).sum(axis=1)[:, None]
             parts_d, parts_c = [], []
-            for bc in bcs:
-                cells_l, carrs_l = bc.value
-                C = np.asarray(carrs_l, dtype="float64")
-                cell_ids = np.asarray(cells_l, dtype="int64")
-                c2 = (C * C).sum(axis=1)
+            for C, c2, cell_ids in conv:
                 kk_c = len(cell_ids) if top is None else min(top, len(cell_ids))
                 D, CE = _topk_cells(G, g2, C, c2, cell_ids, kk_c)
                 parts_d.append(D)
@@ -407,6 +418,32 @@ def _rank_kern_multi(bcs, top: int | None):
     return kern
 
 
+def _cell_range_chunks(cent: DataFrame, chunk_cells: int):
+    """Yield (cells, carrs) centroid chunks as ASCENDING CELL RANGES of
+    EXACTLY ``chunk_cells`` cells each (the last possibly smaller).
+
+    ADVICE r14: the former pmod(cell, nchunks) partition balanced the
+    chunks only in expectation — cell ids are hash-selected vec_ids, so
+    a skewed residue class could push one chunk past the ~32 MB
+    driver-pin/broadcast bound the callers promise.  Range chunking
+    over the SORTED id list makes the bound hold by construction: one
+    skinny collect of the cell-id column (8 bytes/cell — ~2 MB at
+    PIPE_MAX_CELLS, ~64 MB even at an nlist of 8M, vs the 520-byte
+    full rows), then per-chunk BETWEEN filters keep each full-row pin
+    at <= chunk_cells rows.  Cell ids are unique by construction (they
+    are seed vec_ids), so the ranges partition the table exactly.
+
+    Raises on an empty centroid table (both callers' former behavior)."""
+    ids = sorted(r["cell"] for r in cent.select("cell").collect())
+    if not ids:
+        raise ValueError("cell ranking: empty centroid table")
+    for s in range(0, len(ids), chunk_cells):
+        sub = cent.filter(
+            F.col("cell").between(ids[s], ids[min(s + chunk_cells, len(ids)) - 1])
+        )
+        yield _collect_cents(sub)
+
+
 def pipelined_cell_ranks(
     grid: DataFrame,
     cent: DataFrame,
@@ -426,19 +463,16 @@ def pipelined_cell_ranks(
     all chunk values (~nlist x 64 doubles total), so auto mode uses
     this path only up to PIPE_MAX_CELLS and falls back to chunked-union
     above it.  Bit-identical to pinned/chunked by the same argument as
-    the chunked merge (asserted by the mode-equivalence tests)."""
+    the chunked merge (asserted by the mode-equivalence tests).
+    Chunks are balanced ascending cell ranges — exactly chunk_cells
+    cells each by construction (_cell_range_chunks, ADVICE r14), so
+    every driver pin and broadcast honors the ~32 MB bound, not just
+    in expectation."""
     spark = grid.sparkSession
-    nl = cent.count()
-    if nl == 0:
-        raise ValueError("pipelined_cell_ranks: empty centroid table")
-    nchunks = -(-nl // chunk_cells)
-    bcs = []
-    for ci in range(nchunks):
-        sub = cent.filter(F.pmod(F.col("cell"), F.lit(nchunks)) == ci)
-        cells, carrs = _collect_cents(sub)
-        if not cells:
-            continue
-        bcs.append(spark.sparkContext.broadcast((cells, carrs)))
+    bcs = [
+        spark.sparkContext.broadcast(chunk)
+        for chunk in _cell_range_chunks(cent, chunk_cells)
+    ]
     return grid.mapInPandas(_rank_kern_multi(bcs, top), schema=_RANK_SCHEMA)
 
 
@@ -451,7 +485,9 @@ def chunked_cell_ranks(
     """Cell ranking against an UNPINNED centroid DataFrame — the
     >1e5-nlist build path (VERDICT r12 item 1).
 
-    Chunk c = cells with pmod(cell, nchunks) == c; each chunk is
+    Chunks are balanced ascending cell ranges of exactly chunk_cells
+    cells (_cell_range_chunks — ADVICE r14 replaced the former
+    expectation-balanced pmod partition); each chunk is
     collected (bounded: chunk_cells x 64 longs, ~32 MB), torrent-
     broadcast, and ranked by the shared exact-integer kernel; a window
     PARTITIONED BY vec_id merges per-chunk top-kk candidates under the
@@ -487,17 +523,9 @@ def chunked_cell_ranks(
     from pyspark.sql.window import Window
 
     spark = grid.sparkSession
-    nl = cent.count()
-    if nl == 0:
-        raise ValueError("chunked_cell_ranks: empty centroid table")
-    nchunks = -(-nl // chunk_cells)
     parts = []
-    for ci in range(nchunks):
-        sub = cent.filter(F.pmod(F.col("cell"), F.lit(nchunks)) == ci)
-        cells, carrs = _collect_cents(sub)
-        if not cells:
-            continue
-        bc = spark.sparkContext.broadcast((cells, carrs))
+    for chunk in _cell_range_chunks(cent, chunk_cells):
+        bc = spark.sparkContext.broadcast(chunk)
         parts.append(
             grid.mapInPandas(_rank_kern_bc(bc, top), schema=_RANK_SCHEMA)
             .select("vec_id", "d", "cell")
@@ -556,9 +584,14 @@ def _resolve_assign_mode(assign_mode: str, nlist: int) -> str:
     executor-loss chaos battery runs ``ivf2_ann`` in a subprocess and
     needs the chunked broadcast path engaged at sf0.1's tiny nlist.
     Results are mode-invariant (the equivalence tests' contract), so
-    the override can never change a hash, only the physical plan."""
+    the override can never change a hash, only the physical plan.
+    ADVICE r14: the env hook applies ONLY when the caller asked for
+    "auto" — an explicit pin/chunked/pipelined argument is an A/B or
+    equivalence-test contract that a leaked env var must not silently
+    collapse into a same-mode comparison (registered queries all go
+    through auto, so the chaos battery's forcing still engages)."""
     env = os.environ.get("SPARK_GRAFT_ASSIGN_MODE")
-    if env:
+    if env and assign_mode == "auto":
         assign_mode = env
     if assign_mode in ("pin", "chunked", "pipelined"):
         return assign_mode

@@ -52,7 +52,17 @@ def distinct_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, token) distinct pairs + per-doc distinct count ``n_tok``.
 
     Row-local dedup (array_distinct before explode) — same row set as
-    the former global ``.distinct()``, no shuffle (round 14)."""
+    the former global ``.distinct()``, no shuffle (round 14).
+
+    CONTRACT (ADVICE r14): ``doc_id`` must be UNIQUE per input row —
+    the row-local rewrite (here, ``_minhash_wide``,
+    ``exact_jaccard_on_pairs``) is equivalent to the global distinct
+    only then; duplicate doc_id rows would double-count tokens in
+    n_tok/minhash/jaccard instead of being deduped.  Every caller
+    feeds the ``documents`` table, whose doc_id is a primary key
+    (tests/test_incremental.py::test_documents_doc_id_unique pins the
+    fixture; exact_dedup is the operator for collapsing duplicate
+    CONTENT — duplicate ids are a malformed input, not a near-dup)."""
     t = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
@@ -299,7 +309,8 @@ def _minhash_wide(docs: DataFrame, num_hashes: int) -> DataFrame:
     (a_i*h + b_i) mod P, same min.
 
     The (doc_id, token) distinct is computed ROW-LOCALLY with
-    array_distinct BEFORE the explode (round 14, VERDICT r13 item 1):
+    array_distinct BEFORE the explode (round 14, VERDICT r13 item 1;
+    requires the unique-doc_id input contract — see distinct_tokens):
     per-doc token dedup needs no cross-row information, so the global
     ``.distinct()`` it replaces — a full shuffle of the ~55x-exploded
     token stream, 4,294 executor-seconds (48% of the query, 681 s of
@@ -464,7 +475,8 @@ def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
 
     Round 14 (the sf100 stage profile, VERDICT r13 item 1): the
     (doc_id, token) stream is deduped row-locally (array_distinct
-    before explode — same row set, no global distinct shuffle) and is
+    before explode — same row set under the unique-doc_id input
+    contract, see distinct_tokens; no global distinct shuffle) and is
     NOT persisted: caching the ~n_docs x 40-row token stream was the
     profile's top cost (the InMemoryRelation build of ~200M rows
     dominated stage 9), while recomputing it per consumer is one

@@ -237,8 +237,9 @@ def test_ivf2_chunked_mode_equivalence(spark, hier_frames):
 
 def test_env_forcing_hooks(monkeypatch):
     """The chaos battery's process-level forcing hooks (round 14,
-    VERDICT r13 item 6) must override the call-site mode/chunk-size —
-    and stay inert when unset."""
+    VERDICT r13 item 6) must override AUTO mode resolution and the
+    chunk size, stay inert when unset, and (ADVICE r14) leave
+    EXPLICIT caller modes alone."""
     from etl_data_pipeline_spark.operators.ann_adaptive import (
         PIN_MAX_CELLS,
         _resolve_assign_mode,
@@ -259,7 +260,11 @@ def test_env_forcing_hooks(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ASSIGN_MODE", "chunked")
     monkeypatch.setenv("SPARK_GRAFT_CHUNK_CELLS", "32")
     assert _resolve_assign_mode("auto", 10) == "chunked"
-    assert _resolve_assign_mode("pin", 10) == "chunked"  # env wins over caller
+    # ADVICE r14: an EXPLICIT caller mode is an A/B-test contract the
+    # env hook must NOT override (registered queries all pass "auto",
+    # so the chaos battery's forcing still engages through them)
+    assert _resolve_assign_mode("pin", 10) == "pin"
+    assert _resolve_assign_mode("pipelined", 10) == "pipelined"
     assert resolve_chunk_cells(65536) == 32
 
 

@@ -36,6 +36,16 @@ def _full_restricted(docs, threshold=0.5, **kw):
     )
 
 
+def test_documents_doc_id_unique(spark):
+    """The unique-doc_id input contract (ADVICE r14) behind the
+    row-local array_distinct rewrite in distinct_tokens /
+    _minhash_wide / exact_jaccard_on_pairs: the documents fixture's
+    doc_id is a primary key at every test scale."""
+    d = load_table(spark, SF_DIR, "documents")
+    n, nd = d.count(), d.select("doc_id").distinct().count()
+    assert n == nd and n > 0
+
+
 def test_incremental_equals_full_restricted(spark):
     d = load_table(spark, SF_DIR, "documents")
     new = d.filter(F.col("doc_id") % 10 == 0)
