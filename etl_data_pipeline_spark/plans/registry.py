@@ -61,67 +61,68 @@ _PLAN_MODULES = [
 #: registration order after these. Unknown names are ignored
 #: (defensive: a renamed query must not break loading).
 _PRIORITY = [
-    # -- round 14: set MECHANICALLY from COVERAGE_AUDIT.json
-    # summary.suggested_priority.  Head: the touched cohort (36 names —
-    # this round's ANN-kernel cell-blocking/pipelined-mode work plus
-    # the i4b token-distinct deletion dirtied the vectors AND dedup
-    # families), then the r7 oldest-evidence cohort IN FULL (q3/q5/
-    # pretrain_corpus/resample_ohlc/pagerank_neardup/neardup_triangles/
-    # scd2 — VERDICT r13 item 2 done), then the r8 tier alphabetically
-    # (cohort_retention in; the j1-j4 events block did not fit the 50
-    # slots behind the forced touched cohort and leads the r15
-    # rotation — VERDICT r13 item 7 deferred by the audit's mechanical
-    # prescription, which the --check gate pins verbatim).
+    # -- round 15: set MECHANICALLY from COVERAGE_AUDIT.json
+    # summary.suggested_priority.  Head: incremental_neardup (the
+    # round's one new query, never-checked), then the 10-name touched
+    # cohort (the balanced range-chunking edit in ann_adaptive dirties
+    # every query tracing the assignment ladder), then the ENTIRE
+    # 22-name r8 oldest-evidence cohort (VERDICT r14 item 1 — the
+    # j1/j2/j4 events block, the sql subquery/CTE/lateral block,
+    # h7/h8, k5-k8, skew_salted_join, rolling_median, trend_slope,
+    # interval_overlap_join, rollup_reuse_daily_monthly — six-round-
+    # stale driver evidence drains HERE), then 17 of the 44-name r9
+    # tier alphabetically (the 27-name remainder leads the r16
+    # rotation; a 50-slot window cannot hold 22 r8 + 44 r9 at once).
+    "incremental_neardup",
     "ivf2_ann",
     "ivf2_recall",
     "ivf_ann",
     "ivf_recall",
-    "neardup_triangles",
-    "pagerank_neardup",
-    "i4b_minhash_lsh",
-    "kcore_peel",
-    "minhash_est_quality",
-    "neardup_clusters",
-    "neardup_degree_hist",
-    "neardup_link_predict",
-    "lsh_bucket_stats",
     "ann_lsh",
     "ann_multiprobe",
     "ann_multiprobe_recall",
     "ann_recall",
     "pq_ann",
     "pq_recall",
-    "cosine_topk",
-    "embedding_clip_stats",
-    "embedding_neardup",
-    "hybrid_rrf_search",
-    "i6b_cosine_topk_hof",
-    "i7_knn",
-    "i8_centroid_classify",
-    "i8b_centroid_accuracy",
-    "i9_multimodal_join",
-    "kmeans_lloyd",
-    "mmr_diversified_topk",
-    "vector_centroids",
-    "pretrain_corpus",
-    "q3_topk_join",
-    "q5_multi_join",
-    "resample_ohlc",
-    "scd2_point_in_time_join",
-    "a10_orc_roundtrip",
-    "a11_text_roundtrip",
-    "a12_zstd_parquet",
-    "a13_compact_small_files",
-    "a14_clustered_layout",
-    "a15_file_lineage",
-    "a16_fixed_width",
-    "a9_python_datasource",
-    "bucketed_join",
-    "c4b_shuffle_hash_hint",
-    "c8b_asof_forward",
-    "cohort_retention",
-    "dpp_partition_pruned_join",
-    "event_debounce",
+    "events_tumbling",
+    "h7_variant",
+    "h8_xml_extract",
+    "interval_overlap_join",
+    "j2_sliding_window",
+    "j3_session_window",
+    "j4_sessionization_metrics",
+    "k5_arrow_udf",
+    "k6_map_in_arrow",
+    "k7_cogroup_asof",
+    "k8_grouped_agg_udaf",
+    "rolling_median",
+    "rollup_reuse_daily_monthly",
+    "skew_salted_join",
+    "sql_correlated_subquery",
+    "sql_exists_subquery",
+    "sql_group_by_all",
+    "sql_lateral_topk",
+    "sql_nested_agg_subquery",
+    "sql_q6_revenue",
+    "sql_recursive_cte",
+    "trend_slope",
+    "a4_partitioned_write",
+    "a8_dynamic_partition_overwrite",
+    "bigram_lm_score",
+    "bm25_topk",
+    "c2_left_join",
+    "c2_right_join",
+    "c4_broadcast_join",
+    "chunk_overlap",
+    "containment_df_stats",
+    "d2_global_agg",
+    "d6_filtered_agg",
+    "dedup_survivorship",
+    "doc_fingerprint",
+    "frequent_ngrams",
+    "global_shuffle",
+    "gopher_repetition",
+    "i2_text_stats",
 ]
 
 #: Round-7 status: cumulative driver coverage is 271/271 (r06 drained
