@@ -85,6 +85,10 @@ SKIP: dict[str, str] = {
     "i4b_minhash_lsh": (
         "oracle spilled >80 GB at sf1 (FIXTURES.md r11) — mirror-checked"
     ),
+    "incremental_neardup": (
+        "oracle is the full-corpus LSH pair set (the i4b oracle class; "
+        "measured oracle-timeout at sf1) — mirror-checked"
+    ),
     "i4_jaccard_pairs": "exact all-pairs verifier: sum(df^2) join volume",
     "i4c_ngram_jaccard": "exact bigram all-pairs verifier (305 s engine-only)",
     "containment_pairs": "exact all-pairs containment verifier",
@@ -931,6 +935,27 @@ def run_mirrors(spark, qs, sf_dir: str, results: dict,
             only_w = len(want_pairs - got_pairs)
             detail = f"engine-only={only_g} mirror-only={only_w}"
         record("i4b_minhash_lsh", match, len(got_pairs),
+               time.monotonic() - t0, detail)
+    if want("incremental_neardup"):
+        # Round 15: the incremental probe's equivalence contract IS
+        # "full-corpus LSH restricted to batch-touching pairs", so the
+        # mirror is _mirror_minhash filtered to the registered batch
+        # split (doc_id % 10 == 0) — same exact-Jaccard float.
+        t0 = time.monotonic()
+        inc_want = {
+            (a, b, j) for a, b, j in _mirror_minhash(sf_dir)
+            if a % 10 == 0 or b % 10 == 0
+        }
+        inc_got = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in qs["incremental_neardup"](spark, sf_dir).collect()
+        }
+        match = inc_got == inc_want
+        detail = ""
+        if not match:
+            detail = (f"engine-only={len(inc_got - inc_want)} "
+                      f"mirror-only={len(inc_want - inc_got)}")
+        record("incremental_neardup", match, len(inc_got),
                time.monotonic() - t0, detail)
     if want("pack_greedy"):
         t0 = time.monotonic()
