@@ -75,7 +75,7 @@ from etl_data_pipeline_spark.operators.similarity import (
     PQ_SUBSPACES,
     TARGET_BLOCK_ROWS,
     _cell_topk_kern,
-    cosine_col,
+    exact_cosine_rerank_topk,
     knn,
     quantize_embeddings,
 )
@@ -888,21 +888,6 @@ def pq_rerank_adaptive(
     if n_blocks is None:
         n_blocks = max(8, n // TARGET_BLOCK_ROWS)
     cand = knn(spark, decoded, k=n_cand, n_blocks=n_blocks)
-    eq = embeddings.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq")
-    )
-    en = embeddings.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")
-    )
-    rer = (
-        cand.select("vec_id", "neighbor")
-        .join(eq, F.col("vec_id") == F.col("q_id"))
-        .join(en, F.col("neighbor") == F.col("n_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        rer.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "neighbor", "cosine")
-    )
+    # shared stage-2: exact-cosine top-k with per-vector norm hoisting
+    # (operators/similarity.py::exact_cosine_rerank_topk, r15)
+    return exact_cosine_rerank_topk(cand, embeddings, k)

@@ -36,17 +36,80 @@ from pyspark.sql import functions as F
 from etl_data_pipeline_spark.operators.text import md5_hash32
 
 
+def dot_col(x: Column, y: Column) -> Column:
+    """JVM-side dot product of two float arrays: the canonical HOF fold
+    (zip_with multiply, sequential aggregate from 0.0).  Every exact
+    cosine in the engine is built from THIS expression so the float
+    evaluation order — and therefore the result bits — cannot drift
+    between call sites."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
-    """JVM-side cosine of two float arrays via higher-order functions."""
+    """JVM-side cosine of two float arrays via higher-order functions.
 
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
+    Inlines both self-norms per evaluation — fine for one-shot pair
+    expressions; per-pair rerank paths use ``exact_cosine_rerank_topk``
+    instead, which hoists the self-norms to once per vector."""
+    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+
+
+def exact_cosine_rerank_topk(
+    cand: DataFrame, embeddings: DataFrame, k: int
+) -> DataFrame:
+    """Exact float-cosine top-``k`` re-rank of candidate pairs — the
+    shared stage-2 of every two-stage retrieval path (i6c int8, PQ/SDC).
+
+    ``cand`` carries (vec_id, neighbor); both sides join back to
+    ``embeddings`` and the per-pair cosine is
+    ``dot(vq, vn) / sqrt(nq2 * nn2)`` with the self-norms HOISTED into
+    the per-vector projections (r15 optimization round, guide §2.3):
+    ``cosine_col`` evaluated per pair runs THREE interpreted HOF folds
+    — dot(vq,vn), dot(vq,vq), dot(vn,vn) — of which the two self-norms
+    depend only on the vector, so inlining them repeated each vector's
+    norm fold n_cand times.  Bit-identical by construction: the same
+    ``dot_col`` fold over the same array yields the same double
+    wherever it is evaluated, and the sqrt/divide/round tail is
+    unchanged (interleaved A/B at sf0.1: identical 6,000 rows, warm-min
+    2.32 -> 1.86 s through i6c_quantized_rerank)."""
+    from pyspark.sql.window import Window
+
+    n2 = dot_col(F.col("embedding"), F.col("embedding"))
+    eq = embeddings.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("vq"),
+        n2.alias("nq2"),
+    )
+    en = embeddings.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("vn"),
+        n2.alias("nn2"),
+    )
+    rer = (
+        cand.select("vec_id", "neighbor")
+        .join(eq, F.col("vec_id") == F.col("q_id"))
+        .join(en, F.col("neighbor") == F.col("n_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("vq"), F.col("vn"))
+                / F.sqrt(F.col("nq2") * F.col("nn2")),
+                6,
+            ),
         )
-
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "neighbor", "cosine")
+    )
 
 
 def cosine_pairs_hof(embeddings: DataFrame, min_cos: float) -> DataFrame:
@@ -681,22 +744,7 @@ def quantized_rerank(
     (ADVICE r12) — every sf <= 1 still resolves to the measured 8.
     """
     cand = knn(spark, quantize_embeddings(embeddings), k=n_cand, n_blocks=n_blocks)
-    from pyspark.sql.window import Window
-
-    eq = embeddings.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
-    en = embeddings.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn"))
-    rer = (
-        cand.select("vec_id", "neighbor")
-        .join(eq, F.col("vec_id") == F.col("q_id"))
-        .join(en, F.col("neighbor") == F.col("n_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        rer.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "neighbor", "cosine")
-    )
+    return exact_cosine_rerank_topk(cand, embeddings, k)
 
 
 def mmr_candidates(
@@ -1021,24 +1069,7 @@ def pq_rerank(
         decode_kern, schema="vec_id long, embedding array<double>"
     )
     cand = knn(spark, decoded, k=n_cand, n_blocks=n_blocks)
-    eq = embeddings.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq")
-    )
-    en = embeddings.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")
-    )
-    rer = (
-        cand.select("vec_id", "neighbor")
-        .join(eq, F.col("vec_id") == F.col("q_id"))
-        .join(en, F.col("neighbor") == F.col("n_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("vq"), F.col("vn")), 6))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        rer.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "neighbor", "cosine")
-    )
+    return exact_cosine_rerank_topk(cand, embeddings, k)
 
 
 def ann_lsh_multiprobe_topk(

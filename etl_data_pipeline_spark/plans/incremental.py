@@ -118,7 +118,17 @@ def probe_neardup_index(
         F.col("band_key").alias("key_r"),
         F.col("doc_id").alias("b"),
     )
-    cand = (
+    # The candidate pair set is a MULTI-CONSUMER reuse point (guide §5 /
+    # r15 optimization round): it feeds the touched-doc semi-join (via
+    # both union legs), the inverted-index inter join, and the final
+    # left join — four consumers, each of which would otherwise re-run
+    # the band self-join + distinct (a shuffle) per consumer.  Measured
+    # at sf0.1 (interleaved, .scratch/r15_incneardup_profile.py):
+    # 4.1-4.9 s -> 3.4-3.7 s warm, identical 11,409 rows.  ``touched``
+    # is materialized for the same reason: it is the semi-join build
+    # side behind all three token-stream recomputes inside
+    # exact_jaccard_on_pairs.
+    cand = materialize(
         left.join(
             right,
             (left.band_l == right.band_r)
@@ -132,7 +142,7 @@ def probe_neardup_index(
         )
         .distinct()
     )
-    touched = (
+    touched = materialize(
         cand.select(F.col("a").alias("doc_id"))
         .unionByName(cand.select(F.col("b").alias("doc_id")))
         .distinct()
