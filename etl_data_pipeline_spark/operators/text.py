@@ -434,7 +434,21 @@ def lsh_candidate_pairs(
     """Candidate (a, b) pairs from the capped band self-join — the
     generation stage of ``minhash_lsh_pairs``, exposed so quality
     audits (plans/text.py::minhash_est_quality) can inspect the
-    UNVERIFIED candidate set."""
+    UNVERIFIED candidate set.
+
+    The returned pair set is a materialize() point (r15 optimization
+    round, guide §5): every consumer uses it at least twice
+    (exact_jaccard_on_pairs feeds it into both the inverted-index
+    inter join and the final left join; minhash_est_quality adds a
+    third, the signature-compare leg), and each re-execution repeats
+    the (band, band_key) SHUFFLE self-join + distinct — unlike the
+    token stream, whose recompute is a row-local scan (the r14 sf100
+    no-persist rule does NOT apply here).  The cached rows are skinny
+    (two longs per candidate, output-scale not corpus-scale), so the
+    persist is bounded at any corpus size.  Interleaved A/B at sf0.1
+    (.scratch/r15_lshcand_materialize.py): identical 58,418 / 13 rows;
+    i4b 4.95/3.77/3.37 -> 3.96/3.36/2.97 s, est_quality
+    4.72/4.31/3.86 -> 3.85/3.86/3.81 s."""
     bands = materialize(minhash_bands(docs, num_hashes, band_size))
     if max_bucket_size is not None:
         # Count per (band, band_key) via window — same key as the join
@@ -455,7 +469,7 @@ def lsh_candidate_pairs(
         F.col("band_key").alias("key_r"),
         F.col("doc_id").alias("b"),
     )
-    return (
+    return materialize(
         left.join(
             right,
             (left.band_l == right.band_r)

@@ -620,22 +620,30 @@ CUSUM_K_REF = 6_000
 CUSUM_H = 30_000
 
 
-def _cusum_user(pdf):
-    """One user's CUSUM pass: S_i = max(0, S_{i-1} + (v_i - k)); alarm
-    and reset when S crosses h. O(1) state, O(rows) time per key."""
+def _cusum_bucket(pdf):
+    """CUSUM pass for one BUCKET of users: one global (user, ts,
+    event_id) sort, then the sequential per-user recursion
+    S_i = max(0, S_{i-1} + (v_i - k)) with alarm-and-reset at h.
+    O(1) state and O(rows) time per key, exactly as the former
+    per-user kernel — the bucket only changes how many keys share one
+    Arrow round-trip (r15 optimization round, guide §4: grouped-Python
+    cost is per GROUP, so keying by raw user_id paid the boundary tax
+    n_users times)."""
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"])
-    s = alarms = mx = 0
-    for v in pdf["v"]:
-        s = max(0, s + int(v) - CUSUM_K_REF)
-        mx = max(mx, s)
-        if s > CUSUM_H:
-            alarms += 1
-            s = 0
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    out = []
+    for uid, g in pdf.groupby("user_id", sort=False):
+        s = alarms = mx = 0
+        for v in g["v"]:
+            s = max(0, s + int(v) - CUSUM_K_REF)
+            mx = max(mx, s)
+            if s > CUSUM_H:
+                alarms += 1
+                s = 0
+        out.append([int(uid), len(g), alarms, mx])
     return pd.DataFrame(
-        [[int(pdf["user_id"].iloc[0]), len(pdf), alarms, mx]],
-        columns=["user_id", "n_events", "n_alarms", "max_s"],
+        out, columns=["user_id", "n_events", "n_alarms", "max_s"]
     )
 
 
@@ -678,11 +686,18 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard sequential drift detector for metrics pipelines.
 
     The recursion is inherently sequential PER KEY, so the Spark plan is
-    the canonical stateful grouped-map: one shuffle on user_id, then
-    ``applyInPandas`` holding O(1) state per key — exactly how the
-    streaming siblings (j7) carry state, here in batch form. The oracle
-    is the same recursion as a DuckDB recursive CTE, so the parity check
-    covers the full alarm/reset semantics, not just row counts.
+    the canonical stateful grouped-map: one shuffle on a user-id BUCKET
+    (pmod(user_id, B), B = max(64, defaultParallelism * 2) — r15
+    optimization round), then ``applyInPandas`` running the per-user
+    recursion over each bucket's users — exactly how the streaming
+    siblings (j7) carry state, here in batch form.  Bucketing changes
+    only how many users share one Arrow round-trip (the per-GROUP
+    boundary tax, guide §4); the recursion still never crosses users,
+    so the result is invariant to B.  Interleaved A/B at sf0.1:
+    identical 1,500 rows, 2.9-3.2 s -> see OPTIMIZATION_r15.md.  The
+    oracle is the same recursion as a DuckDB recursive CTE, so the
+    parity check covers the full alarm/reset semantics, not just row
+    counts.
 
     Exactness: values land on the cents grid via FLOOR(v*100 + 0.5) —
     one IEEE multiply-add + floor, bit-identical cross-engine, never
@@ -690,15 +705,21 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per key is three integers; keys fan out across executors;
     no driver participation.
     """
+    spark_ctx = spark.sparkContext
+    nb = max(64, spark_ctx.defaultParallelism * 2)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        F.pmod(F.col("user_id"), F.lit(nb)).alias("bkt"),
     )
-    return ev.groupBy("user_id").applyInPandas(
-        _cusum_user,
-        schema="user_id long, n_events long, n_alarms long, max_s long",
+    return (
+        ev.groupBy("bkt")
+        .applyInPandas(
+            _cusum_bucket,
+            schema="user_id long, n_events long, n_alarms long, max_s long",
+        )
     )
 
 

@@ -1285,17 +1285,29 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = bm25_scores(d, ["join", "hash", "vector"])
     wl = Window.orderBy(F.desc("bm25_grid"), F.asc("doc_id"))
     lex = bm.select("doc_id", F.row_number().over(wl).alias("lr"))
+    # The query vector's self-norm is computed ONCE on the 1-row frame
+    # and carried through the broadcast (r15 optimization round) —
+    # cosine_col inlined dot(qe, qe) per scanned row.  Bit-identical:
+    # same HOF fold, same sqrt(n2_emb * qn2) multiplication order.
+    from etl_data_pipeline_spark.operators.similarity import dot_col
+
     qv = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
+        F.col("embedding").alias("qe"),
+        dot_col(F.col("embedding"), F.col("embedding")).alias("qn2"),
     )
     dense = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine_col(F.col("embedding"), F.col("qe")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_col(F.col("embedding"), F.col("qe"))
+                / F.sqrt(
+                    dot_col(F.col("embedding"), F.col("embedding"))
+                    * F.col("qn2")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     wd = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))

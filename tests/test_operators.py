@@ -529,7 +529,7 @@ def test_cusum_alarm_and_reset_semantics(spark):
     climb, an alarm crossing, and a post-reset rebuild."""
     import datetime as dt
 
-    from etl_data_pipeline_spark.plans.timeseries import _cusum_user
+    from etl_data_pipeline_spark.plans.timeseries import _cusum_bucket
 
     t0 = dt.datetime(2024, 1, 1)
     # v grid units; K_REF=6000, H=30000
@@ -553,7 +553,7 @@ def test_cusum_alarm_and_reset_semantics(spark):
         )
         .groupBy("user_id")
         .applyInPandas(
-            _cusum_user,
+            _cusum_bucket,
             schema="user_id long, n_events long, n_alarms long, max_s long",
         )
         .toPandas()
@@ -563,6 +563,46 @@ def test_cusum_alarm_and_reset_semantics(spark):
     assert got.iloc[0]["n_alarms"] == 2
     assert got.iloc[0]["max_s"] == 48001
     assert got.iloc[0]["n_events"] == 5
+
+
+def test_cusum_bucket_invariance(spark):
+    """The r15 bucketed cusum kernel must give the same per-user answer
+    whether users share one applyInPandas group or get one each — the
+    recursion never crosses users, so the result is invariant to the
+    bucket count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from etl_data_pipeline_spark.plans.timeseries import _cusum_bucket
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(7):
+        for i in range(20):
+            rows.append(
+                (uid, uid * 100 + i, t0 + dt.timedelta(seconds=i),
+                 float((uid * 37 + i * 91) % 400))
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).select(
+        "user_id", "ts", "event_id",
+        SF.floor(SF.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    schema = "user_id long, n_events long, n_alarms long, max_s long"
+    per_user = (
+        ev.groupBy("user_id").applyInPandas(_cusum_bucket, schema).toPandas()
+    )
+    one_bucket = (
+        ev.withColumn("bkt", SF.lit(0))
+        .groupBy("bkt")
+        .applyInPandas(_cusum_bucket, schema)
+        .toPandas()
+    )
+    a = per_user.sort_values("user_id").reset_index(drop=True)
+    b = one_bucket.sort_values("user_id").reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_interval_coverage_matches_bruteforce_union(spark):
