@@ -416,6 +416,37 @@ def test_connected_components_star_chain_converges_logarithmically(spark):
     assert got2 == {3: 1, 5: 1, 9: 1, 25: 20, 41: 40}
 
 
+def test_connected_components_star_converges_under_reliable_checkpoint(
+    spark, tmp_path
+):
+    """The r15 loop restructure made the convergence signature ride the
+    checkpoint action as an Observation (no separate scan) and the
+    re-symmetrize a lazy distinct-free union.  Both must hold on the
+    RELIABLE checkpoint path too (cut_lineage upgrades to checkpoint()
+    when a dir is configured — the cluster/chaos posture): a CollectMetrics
+    that failed to fill there would HANG the loop at obs.get, and a
+    broken fixpoint signature would run all max_iters instead of
+    breaking early."""
+    from etl_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "cc_ck"))
+    try:
+        chain = [(i, i + 1) for i in range(31)]  # 0-1-...-31, diameter 31
+        edges = spark.createDataFrame(chain, "u long, v long")
+        assign, rounds = connected_components_star(edges)
+        got = {r["u"]: r["component"] for r in assign.collect()}
+        assert got == {i: 0 for i in range(1, 32)}
+        assert rounds <= 11, rounds  # early fixpoint break still fires
+        assert list((tmp_path / "cc_ck").rglob("*")), "reliable path not taken"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
 def test_mmr_skips_near_duplicate_for_diverse_pick(spark):
     """MMR's whole point: with an exact duplicate in the pool, rank 2
     must skip it (similarity penalty ~= relevance) and take the diverse
