@@ -483,43 +483,51 @@ def lsh_candidate_pairs(
 
 def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact token-set Jaccard restricted to a candidate pair set:
-    (a, b, inter, na, nb, jaccard).  Inverted-index join pinned to the
-    pairs — never all-pairs; pairs sharing zero tokens are kept with
-    inter = 0 so callers see the full candidate set.
+    (a, b, inter, na, nb, jaccard) — never all-pairs; pairs sharing
+    zero tokens are kept with inter = 0 so callers see the full
+    candidate set.
 
-    Round 14 (the sf100 stage profile, VERDICT r13 item 1): the
-    (doc_id, token) stream is deduped row-locally (array_distinct
-    before explode — same row set under the unique-doc_id input
-    contract, see distinct_tokens; no global distinct shuffle) and is
-    NOT persisted: caching the ~n_docs x 40-row token stream was the
-    profile's top cost (the InMemoryRelation build of ~200M rows
-    dominated stage 9), while recomputing it per consumer is one
-    parquet scan + a row-local explode; the counts aggregate below
-    map-side-combines doc-adjacent rows, so each recompute shuffles
-    only ~n_docs rows."""
-    t = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    r15 optimization round (guide §2.3 "shuffle fewer rows"): the
+    intersection is computed per pair with ``array_intersect`` over
+    each doc's row-local distinct-token ARRAY, replacing the former
+    inverted-index form (explode both sides, equi-join on (token, b),
+    count matches).  Same integers — ``size(array_intersect(ta, tb))``
+    over distinct arrays IS |A ∩ B|, and ``size(toks)`` IS the n_tok
+    the counts aggregate produced — so the jaccard division sees
+    bit-identical operands.  What changes is the shuffle shape: the
+    token columns ship as ONE array row per doc instead of ~40
+    exploded rows per doc, and the (pairs x tokens-of-a) intermediate
+    (candidate fan-out x 40 rows, re-shuffled by (token, b)) is gone
+    entirely — per pair the intersection is a task-local hash probe.
+    Three-decade interleaved A/B with byte-identical pair sets
+    (.scratch/r15b_jaccard_array_ab.py, pair counts 58,418 / 150,003 /
+    512,708 matching the recorded i4b values): sf0.1 1.90 -> 1.77 s,
+    sf1 4.00 -> 3.45 s, sf10 27.7 -> 24.3 s min-of-4 through the full
+    i4b, every interleaved pair in B's favor, and the gap widens under
+    host pressure (the degraded 4th sf10 pass read 79.5 vs 42.1 s).
+
+    The round-14 no-persist rule stands: the token-array frame is
+    derived row-locally per consumer (one parquet scan + split +
+    array_distinct), never cached.  Empty text behaves as before
+    (split('') = [''] — one token both ways); the unique-doc_id input
+    contract (see distinct_tokens) is unchanged."""
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    counts = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = t.select(F.col("doc_id").alias("a"), "token")
-    tb = t.select(F.col("doc_id").alias("b_r"), F.col("token").alias("token_b"))
-    inter = (
-        cand.join(ta, "a")
-        .join(
-            tb,
-            (F.col("token") == F.col("token_b")) & (F.col("b") == F.col("b_r")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = counts.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"))
+    ta = tok.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"))
+    tb = tok.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"))
     return (
-        cand.join(inter, ["a", "b"], "left")
-        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
-        .join(na, "a")
-        .join(nb, "b")
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("inter"),
+            F.size("toks_a").cast("long").alias("na"),
+            F.size("toks_b").cast("long").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

@@ -344,6 +344,44 @@ def test_real_decoders_roundtrip_pure_python():
         decode_image(b"GIF89a" + b"\x00" * 16)
 
 
+def test_exact_jaccard_on_pairs_matches_set_reference(spark):
+    """The r15 array_intersect rewrite of exact_jaccard_on_pairs must
+    reproduce the inverted-index semantics it replaced, pinned against
+    a plain-Python set reference: distinct-token intersections (tokens
+    repeat inside docs), candidate pairs with ZERO shared tokens kept
+    with inter = 0, empty text counted as the single '' token, and the
+    exact inter/(na+nb-inter) division."""
+    from etl_data_pipeline_spark.operators.text import (
+        exact_jaccard_on_pairs,
+    )
+
+    texts = {
+        1: "a b c a b",      # dup tokens: distinct = {a,b,c}
+        2: "b c d",
+        3: "x y z",          # zero overlap with 1
+        4: "",               # empty text -> the single '' token
+        5: "a b c",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 5)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["na"], r["nb"], r["jaccard"])
+        for r in exact_jaccard_on_pairs(docs, cand).collect()
+    }
+    for (a, b) in [(1, 2), (1, 3), (1, 4), (1, 5), (2, 5)]:
+        sa = set(texts[a].split(" "))
+        sb = set(texts[b].split(" "))
+        inter, na, nb = len(sa & sb), len(sa), len(sb)
+        assert got[(a, b)] == (
+            inter, na, nb, inter / (na + nb - inter)
+        ), (a, b, got[(a, b)])
+    assert got[(1, 3)][0] == 0  # zero-overlap pair present, inter=0
+
+
 def test_lsh_bucket_cap_diverts_oversized_buckets(spark):
     """The band-bucket cap is the quadratic-fan-out guard: a 20-doc
     boilerplate cluster lands in one bucket per band; with the cap below
