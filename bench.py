@@ -409,6 +409,13 @@ def main() -> None:
         # local[32] column uses the identical method, via
         # tools/measure_baseline.py)
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # Proof the session honors $SPARK_GRAFT_CPUS (VERDICT r15 item 2:
+        # PERF_r15 flagged suspect_cpus_ignored because ratios ~1 at this
+        # SF look like an ignored knob; the resolved master string and
+        # the context's ACTUAL defaultParallelism are stamped so the
+        # artifact itself shows cpus/master/parallelism agreeing).
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "method": "3 runs per query in one session; min of runs 2-3",
     }
     if scaling is not None:
@@ -430,6 +437,12 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "ncpus": os.cpu_count(),
+        # duplicated from the record top level because the driver's
+        # artifact capture is a bounded TAIL of stdout — load_context is
+        # the last block before the compact line, so the cpus-honored
+        # proof survives any capture that keeps the record's tail
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "registry_load_sec": registry_load_sec,
         "session_start_sec": session_start_sec,
     }

@@ -755,8 +755,24 @@ def ivf_topk_adaptive(
             F.lit(1).alias("side"),
         )
     )
-    local = tagged.groupBy("cell").applyInPandas(
-        _cell_topk_kern(k), schema="q long, n long, cosine double"
+    # r16 (VERDICT r15 item 1b): group the kernel on a cell BUCKET —
+    # the nlist = n/125 doctrine makes per-cell keying O(n) pandas
+    # groups at scale (~8M at 1e9 vectors), each paying the per-GROUP
+    # Arrow tax (guide §4).  B caps the expected bucket frame at
+    # ~TARGET_BLOCK_ROWS rows (the tagged stream is n*(1+nprobe) rows);
+    # result invariant to B (see _cell_topk_kern), and every sf <= 0.1
+    # resolves to B = 64 >= nlist cells, i.e. the r15 geometry.
+    nbkt = max(
+        64,
+        embeddings.sparkSession.sparkContext.defaultParallelism * 2,
+        n * (1 + nprobe) // TARGET_BLOCK_ROWS,
+    )
+    local = (
+        tagged.withColumn("bkt", F.pmod(F.xxhash64("cell"), F.lit(nbkt)))
+        .groupBy("bkt")
+        .applyInPandas(
+            _cell_topk_kern(k), schema="q long, n long, cosine double"
+        )
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (

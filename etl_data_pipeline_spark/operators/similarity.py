@@ -463,9 +463,21 @@ def ann_lsh_topk(embeddings: DataFrame, k: int, n_planes: int = 8) -> DataFrame:
     Candidates run through the shared per-bucket numpy kernel
     (_cell_topk_kern — one matmul per bucket) rather than per-pair HOF
     cosine: measured 5.7 s -> ~1 s at sf0.1 with hash-identical results
-    (same rounded cosine, same tie order)."""
+    (same rounded cosine, same tie order).
+
+    r16: the kernel groups on a cell BUCKET pmod(xxhash64(bucket), B),
+    B = max(64, 2*parallelism, 2n/TARGET_BLOCK_ROWS) — adaptive_planes
+    holds LSH buckets at ~constant population, so per-bucket keying
+    meant O(n) pandas groups at scale; bucketing amortizes the
+    per-GROUP Arrow tax while capping the expected bucket frame at
+    ~TARGET_BLOCK_ROWS rows (the tagged stream is 2n rows).  Result
+    invariant to B (see _cell_topk_kern); every sf <= 0.1 resolves to
+    B = 64 >= 2^n_planes cells, i.e. the r15 geometry."""
     from pyspark.sql.window import Window
 
+    n = embeddings.count()  # bounded driver pin: one scalar
+    sc = embeddings.sparkSession.sparkContext
+    nb = max(64, sc.defaultParallelism * 2, 2 * n // TARGET_BLOCK_ROWS)
     b = lsh_buckets(embeddings, n_planes)
     e = embeddings.join(b, "vec_id")
     tagged = e.select(
@@ -481,8 +493,12 @@ def ann_lsh_topk(embeddings: DataFrame, k: int, n_planes: int = 8) -> DataFrame:
             F.lit(1).alias("side"),
         )
     )
-    local = tagged.groupBy("cell").applyInPandas(
-        _cell_topk_kern(k), schema="q long, n long, cosine double"
+    local = (
+        tagged.withColumn("bkt", F.pmod(F.xxhash64("cell"), F.lit(nb)))
+        .groupBy("bkt")
+        .applyInPandas(
+            _cell_topk_kern(k), schema="q long, n long, cosine double"
+        )
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (
@@ -522,12 +538,44 @@ def _cell_topk_kern(k: int):
     """Shared per-cell numpy kernel: rows tagged side=0 are probing
     queries, side=1 are cell members; emits each query's local top-k by
     rounded cosine with (-cosine, id) tie order and self-pairs masked.
-    Used by ivf_topk (cells) and ann_lsh_multiprobe_topk (buckets)."""
+    Used by the IVF/LSH ANN paths (ivf_topk_adaptive, ivf2_topk,
+    ann_lsh_topk, ann_lsh_multiprobe_topk).
+
+    r16 (VERDICT r15 item 1b): each arriving frame is one cell BUCKET
+    (pmod(xxhash64(cell), B) at every call site), not one cell — the
+    constant-population doctrine holds cells at ~125 rows, so at 1e9
+    vectors per-cell keying meant ~8M pandas groups paying the
+    per-GROUP Arrow round-trip tax (guide §4, the k7/cusum pattern).
+    The kernel loops the UNCHANGED per-cell logic over the bucket's
+    cells — no query/member pair ever crosses a cell, the matmul stays
+    per-cell, and the downstream global window re-sorts, so the result
+    is invariant to B (and to the r15 one-cell-per-group keying, which
+    is the B >= n_cells special case).  Per-bucket memory is the sum of
+    its cells' rows: ~n/B expected (call sites bound it via
+    TARGET_BLOCK_ROWS), never one giant frame."""
 
     def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        Q = pdf[pdf["side"] == 0]
-        M = pdf[pdf["side"] == 1]
-        if len(Q) == 0 or len(M) == 0:
+        out_q, out_n, out_c = [], [], []
+        for _, g in pdf.groupby("cell", sort=False):
+            Q = g[g["side"] == 0]
+            M = g[g["side"] == 1]
+            if len(Q) == 0 or len(M) == 0:
+                continue
+            q_ids = Q["vid"].to_numpy().astype("int64")
+            m_ids = M["vid"].to_numpy().astype("int64")
+            A = np.stack(Q["embedding"].to_numpy()).astype("float64")
+            B = np.stack(M["embedding"].to_numpy()).astype("float64")
+            C = _cosine_matrix(A, B)
+            C[q_ids[:, None] == m_ids[None, :]] = -np.inf  # mask self-pairs
+            kk = min(k, C.shape[1])
+            for i in range(len(q_ids)):
+                row = C[i]
+                order = np.lexsort((m_ids, -row))[:kk]
+                keep = row[order] > -np.inf
+                out_q.append(np.full(keep.sum(), q_ids[i]))
+                out_n.append(m_ids[order][keep])
+                out_c.append(row[order][keep])
+        if not out_q:
             return pd.DataFrame(
                 {
                     "q": pd.Series(dtype="int64"),
@@ -535,21 +583,6 @@ def _cell_topk_kern(k: int):
                     "cosine": pd.Series(dtype="float64"),
                 }
             )
-        q_ids = Q["vid"].to_numpy().astype("int64")
-        m_ids = M["vid"].to_numpy().astype("int64")
-        A = np.stack(Q["embedding"].to_numpy()).astype("float64")
-        B = np.stack(M["embedding"].to_numpy()).astype("float64")
-        C = _cosine_matrix(A, B)
-        C[q_ids[:, None] == m_ids[None, :]] = -np.inf  # mask self-pairs
-        out_q, out_n, out_c = [], [], []
-        kk = min(k, C.shape[1])
-        for i in range(len(q_ids)):
-            row = C[i]
-            order = np.lexsort((m_ids, -row))[:kk]
-            keep = row[order] > -np.inf
-            out_q.append(np.full(keep.sum(), q_ids[i]))
-            out_n.append(m_ids[order][keep])
-            out_c.append(row[order][keep])
         return pd.DataFrame(
             {
                 "q": np.concatenate(out_q),
@@ -1097,7 +1130,15 @@ def ann_lsh_multiprobe_topk(
     ~9 planes even H<=2 falls under the target fraction and recall
     decays gracefully — the documented hand-over point to IVF
     (ivf_topk_adaptive), whose nprobe rule has no such radius ceiling.
-    """
+
+    r16: the kernel groups on a cell BUCKET pmod(xxhash64(cell), B),
+    B = max(64, 2*parallelism, n*(fanout+1)/TARGET_BLOCK_ROWS) where
+    fanout = probes per query — per-LSH-bucket keying meant O(n)
+    pandas groups at scale (the per-GROUP Arrow tax, guide §4);
+    bucketing amortizes it while capping the expected bucket frame at
+    ~TARGET_BLOCK_ROWS rows.  Result invariant to B (see
+    _cell_topk_kern); every sf <= 0.1 resolves to B = 64 >= 2^n_planes
+    cells, i.e. the r15 geometry."""
     from pyspark.sql.window import Window
 
     b = lsh_buckets(embeddings, n_planes)
@@ -1136,8 +1177,19 @@ def ann_lsh_multiprobe_topk(
             F.lit(1).alias("side"),
         )
     )
-    local = tagged.groupBy("cell").applyInPandas(
-        _cell_topk_kern(k), schema="q long, n long, cosine double"
+    n = embeddings.count()  # bounded driver pin: one scalar
+    sc = embeddings.sparkSession.sparkContext
+    nb = max(
+        64,
+        sc.defaultParallelism * 2,
+        n * (len(flips) + 2) // TARGET_BLOCK_ROWS,
+    )
+    local = (
+        tagged.withColumn("bkt", F.pmod(F.xxhash64("cell"), F.lit(nb)))
+        .groupBy("bkt")
+        .applyInPandas(
+            _cell_topk_kern(k), schema="q long, n long, cosine double"
+        )
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (

@@ -95,7 +95,11 @@ from etl_data_pipeline_spark.operators.ann_adaptive import (
     grid_vectors,
     kmeans_cell_ranks,
 )
-from etl_data_pipeline_spark.operators.similarity import _cell_topk_kern, knn
+from etl_data_pipeline_spark.operators.similarity import (
+    TARGET_BLOCK_ROWS,
+    _cell_topk_kern,
+    knn,
+)
 from etl_data_pipeline_spark.plans.registry import query
 
 
@@ -492,8 +496,24 @@ def ivf2_topk(
             )
         )
     )
-    local = tagged.groupBy("cell").applyInPandas(
-        _cell_topk_kern(k), schema="q long, n long, cosine double"
+    # r16 (VERDICT r15 item 1b): kernel grouped on a cell BUCKET — the
+    # two-level quantizer also holds children at ~TARGET_CELL rows, so
+    # per-cell keying meant O(n) pandas groups at scale (the per-GROUP
+    # Arrow tax, guide §4).  B caps the expected bucket frame at
+    # ~TARGET_BLOCK_ROWS rows (tagged is ~n*(1+ncell) rows); result
+    # invariant to B (see _cell_topk_kern), and every sf <= 0.1
+    # resolves to B = 64 >= the child-cell count, the r15 geometry.
+    nbkt = max(
+        64,
+        embeddings.sparkSession.sparkContext.defaultParallelism * 2,
+        n * (1 + ncell) // TARGET_BLOCK_ROWS,
+    )
+    local = (
+        tagged.withColumn("bkt", F.pmod(F.xxhash64("cell"), F.lit(nbkt)))
+        .groupBy("bkt")
+        .applyInPandas(
+            _cell_topk_kern(k), schema="q long, n long, cosine double"
+        )
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
     return (

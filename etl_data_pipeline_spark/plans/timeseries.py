@@ -687,17 +687,29 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The recursion is inherently sequential PER KEY, so the Spark plan is
     the canonical stateful grouped-map: one shuffle on a user-id BUCKET
-    (pmod(user_id, B), B = max(64, defaultParallelism * 2) — r15
-    optimization round), then ``applyInPandas`` running the per-user
-    recursion over each bucket's users — exactly how the streaming
-    siblings (j7) carry state, here in batch form.  Bucketing changes
-    only how many users share one Arrow round-trip (the per-GROUP
-    boundary tax, guide §4); the recursion still never crosses users,
-    so the result is invariant to B.  Interleaved A/B at sf0.1:
-    identical 1,500 rows, 2.9-3.2 s -> see OPTIMIZATION_r15.md.  The
-    oracle is the same recursion as a DuckDB recursive CTE, so the
+    (pmod(user_id, B) — r15 optimization round), then ``applyInPandas``
+    running the per-user recursion over each bucket's users — exactly
+    how the streaming siblings (j7) carry state, here in batch form.
+    Bucketing changes only how many users share one Arrow round-trip
+    (the per-GROUP boundary tax, guide §4); the recursion still never
+    crosses users, so the result is invariant to B.  Interleaved A/B at
+    sf0.1: identical 1,500 rows, 2.9-3.2 s -> see OPTIMIZATION_r15.md.
+    The oracle is the same recursion as a DuckDB recursive CTE, so the
     parity check covers the full alarm/reset semantics, not just row
     counts.
+
+    B scales with BOTH the cluster and the DATA (r16, VERDICT r15
+    item 1: the r15 form B = max(64, 2*parallelism) held ~n/B rows per
+    bucket — scaled to cores, not to data, so one bucket's pandas frame
+    grows without bound at 100 TB): B = max(64, 2*parallelism,
+    ceil(n / 1M)) caps the EXPECTED bucket frame at ~1M rows = ~32 MB
+    of int64 columns (4 cols x 8 B; pmod(user_id) spreads users
+    uniformly, per-user rows are small multiples, so concentration is
+    benign).  n comes from one bounded count() job — a scalar driver
+    pin, the _resolve_blocks/ivf_topk_adaptive precedent.  Every
+    sf <= 1 resolves to the r15 geometry (B = 64 locally), so measured
+    numbers and hashes there are untouched; invariance-to-B stays
+    pinned by test_cusum_bucket_invariance.
 
     Exactness: values land on the cents grid via FLOOR(v*100 + 0.5) —
     one IEEE multiply-add + floor, bit-identical cross-engine, never
@@ -706,8 +718,10 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver participation.
     """
     spark_ctx = spark.sparkContext
-    nb = max(64, spark_ctx.defaultParallelism * 2)
-    ev = load_table(spark, sf_dir, "events").select(
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()  # bounded driver pin: one scalar
+    nb = max(64, spark_ctx.defaultParallelism * 2, -(-n // 1_000_000))
+    ev = events.select(
         "user_id",
         "ts",
         "event_id",

@@ -1035,3 +1035,49 @@ def test_blocked_kernels_blocking_invariant(spark):
         for nb in (8, None):
             got = rows(fn(spark, e, n_blocks=nb, **kwargs))
             assert got == base, (fn.__name__, nb)
+
+
+def test_cell_topk_kern_bucket_invariance(spark):
+    """The r16 cell-bucketed `_cell_topk_kern` must give the same answer
+    whether each applyInPandas group holds one cell (the r15 keying,
+    the B >= n_cells special case) or many cells share a bucket — the
+    kernel loops the per-cell logic inside the frame and no query /
+    member pair ever crosses a cell, so the result is invariant to the
+    bucket count."""
+    import numpy as np
+
+    from etl_data_pipeline_spark.operators.similarity import _cell_topk_kern
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for cell in range(11):
+        for _ in range(3 + cell % 4):  # queries probe their own cell too
+            rows.append(
+                (cell, vid, [float(x) for x in rng.normal(size=4)], 0)
+            )
+            rows.append(
+                (cell, vid, [float(x) for x in rng.normal(size=4)], 1)
+            )
+            vid += 1
+    tagged = spark.createDataFrame(
+        rows, "cell long, vid long, embedding array<double>, side int"
+    )
+    schema = "q long, n long, cosine double"
+
+    def res(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    per_cell = res(
+        tagged.groupBy("cell").applyInPandas(_cell_topk_kern(3), schema)
+    )
+    assert len(per_cell) > 0
+    for nb in (1, 3):
+        bucketed = res(
+            tagged.withColumn(
+                "bkt", F.pmod(F.xxhash64("cell"), F.lit(nb))
+            )
+            .groupBy("bkt")
+            .applyInPandas(_cell_topk_kern(3), schema)
+        )
+        assert bucketed == per_cell, nb
