@@ -738,22 +738,28 @@ def ivf_topk_adaptive(
         assign_mode=assign_mode,
         chunk_cells=chunk_cells,
     )
-    assign = ranked.filter(F.col("crn") == 1).select(
-        F.col("vec_id").alias("member"), "cell"
-    )
-    probe = ranked.filter(F.col("crn") <= nprobe).select(
-        F.col("vec_id").alias("query"), "cell"
-    )
+    # r16 (§2.4/§6): both tagged sides come from the SAME ranked frame —
+    # crn == 1 is the member assignment and crn <= nprobe the probe set
+    # (which includes crn == 1) — so one pass with a conditional explode
+    # replaces the two filter+join branches: each (vec_id, cell, crn)
+    # row yields side 0 (probe) always, plus side 1 (member) when
+    # crn == 1 (nprobe >= 2 by adaptive_nprobe, so the probe filter
+    # never drops members).  The embeddings payload scan and the join
+    # run ONCE instead of once per branch (ranked itself was already a
+    # materialize point — each branch paid a cache read, now one does);
+    # identical row multiset.
     emb = embeddings.select("vec_id", "embedding")
-    tagged = probe.join(emb, probe.query == emb.vec_id).select(
-        "cell", F.col("query").alias("vid"), "embedding", F.lit(0).alias("side")
-    ).unionByName(
-        assign.join(emb, assign.member == emb.vec_id).select(
-            "cell",
-            F.col("member").alias("vid"),
-            "embedding",
-            F.lit(1).alias("side"),
-        )
+    pairs = ranked.filter(F.col("crn") <= nprobe).select(
+        F.col("vec_id").alias("vid"),
+        "cell",
+        F.explode(
+            F.when(
+                F.col("crn") == 1, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("side"),
+    )
+    tagged = pairs.join(emb, pairs.vid == emb.vec_id).select(
+        "cell", "vid", "embedding", "side"
     )
     # r16 (VERDICT r15 item 1b): group the kernel on a cell BUCKET —
     # the nlist = n/125 doctrine makes per-cell keying O(n) pandas

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.materialize import materialize
 from etl_data_pipeline_spark.operators.text import md5_hash32
 
 
@@ -480,18 +481,16 @@ def ann_lsh_topk(embeddings: DataFrame, k: int, n_planes: int = 8) -> DataFrame:
     nb = max(64, sc.defaultParallelism * 2, 2 * n // TARGET_BLOCK_ROWS)
     b = lsh_buckets(embeddings, n_planes)
     e = embeddings.join(b, "vec_id")
+    # r16 (§2.4/§6): every vector is both query (side 0) and member
+    # (side 1) of its own bucket, so the tagged stream is built in ONE
+    # pass with explode over the side tags — the previous two-branch
+    # union re-executed the whole e subtree (embeddings scan + LSH
+    # signature pass) once per branch.  Identical multiset of rows.
     tagged = e.select(
         F.col("bucket").alias("cell"),
         F.col("vec_id").alias("vid"),
         "embedding",
-        F.lit(0).alias("side"),
-    ).unionByName(
-        e.select(
-            F.col("bucket").alias("cell"),
-            F.col("vec_id").alias("vid"),
-            "embedding",
-            F.lit(1).alias("side"),
-        )
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("side"),
     )
     local = (
         tagged.withColumn("bkt", F.pmod(F.xxhash64("cell"), F.lit(nb)))
@@ -1141,7 +1140,12 @@ def ann_lsh_multiprobe_topk(
     cells, i.e. the r15 geometry."""
     from pyspark.sql.window import Window
 
-    b = lsh_buckets(embeddings, n_planes)
+    # b is a materialize point (two longs per row, output-scale, the
+    # lsh_candidate_pairs pattern): both the probe fan-out and the
+    # member side consume it, and without the persist the LSH signature
+    # pass (quantize + posexplode + plane join + two aggs) re-executed
+    # once per consumer (§2.4).
+    b = materialize(lsh_buckets(embeddings, n_planes))
     flips = [1 << j for j in range(n_planes)]
     if (n_planes + 1) * 5 < (1 << n_planes):
         flips += [
@@ -1164,18 +1168,24 @@ def ann_lsh_multiprobe_topk(
     # form runs the same candidates as <= 16 matmuls. A (q, n) pair
     # arises from at most one probe (n lives in exactly one bucket), so
     # local top-k results merge without dedup.
-    tagged = probes.join(embeddings, "vec_id").select(
-        F.col("pbucket").alias("cell"),
+    # r16 (§2.4/§6): union the NARROW (vid, cell, side) pairs first and
+    # fetch the embedding payload with ONE join — the previous form
+    # joined embeddings in each union branch (two base-table scans) and
+    # re-executed the LSH signature pass (lsh_buckets) once per branch.
+    pairs = probes.select(
         F.col("vec_id").alias("vid"),
-        "embedding",
+        F.col("pbucket").alias("cell"),
         F.lit(0).alias("side"),
     ).unionByName(
-        embeddings.join(b, "vec_id").select(
-            F.col("bucket").alias("cell"),
+        b.select(
             F.col("vec_id").alias("vid"),
-            "embedding",
+            F.col("bucket").alias("cell"),
             F.lit(1).alias("side"),
         )
+    )
+    emb = embeddings.select("vec_id", "embedding")
+    tagged = pairs.join(emb, pairs.vid == emb.vec_id).select(
+        "cell", "vid", "embedding", "side"
     )
     n = embeddings.count()  # bounded driver pin: one scalar
     sc = embeddings.sparkSession.sparkContext

@@ -478,23 +478,20 @@ def ivf2_topk(
             _probe_kern(children, ncell), schema=_PROBE_SCHEMA
         ).select("q", "cell")
 
+    # r16 (§2.4/§6): union the NARROW (vid, cell, side) pairs first and
+    # fetch the embedding payload with ONE join — the previous form
+    # joined embeddings in each union branch, i.e. two full base-table
+    # scans where one suffices.  Identical row multiset.
     emb = embeddings.select("vec_id", "embedding")
-    tagged = (
-        pc.join(emb, pc.q == emb.vec_id)
-        .select(
-            "cell",
-            F.col("q").alias("vid"),
-            "embedding",
-            F.lit(0).alias("side"),
+    pairs = pc.select(
+        F.col("q").alias("vid"), "cell", F.lit(0).alias("side")
+    ).unionByName(
+        members.select(
+            F.col("member").alias("vid"), "cell", F.lit(1).alias("side")
         )
-        .unionByName(
-            members.join(emb, members.member == emb.vec_id).select(
-                "cell",
-                F.col("member").alias("vid"),
-                "embedding",
-                F.lit(1).alias("side"),
-            )
-        )
+    )
+    tagged = pairs.join(emb, pairs.vid == emb.vec_id).select(
+        "cell", "vid", "embedding", "side"
     )
     # r16 (VERDICT r15 item 1b): kernel grouped on a cell BUCKET — the
     # two-level quantizer also holds children at ~TARGET_CELL rows, so
