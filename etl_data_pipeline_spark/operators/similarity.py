@@ -33,7 +33,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_data_pipeline_spark.materialize import materialize
 from etl_data_pipeline_spark.operators.text import md5_hash32
 
 
@@ -419,10 +418,6 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     direction < 1%, so bucket geometry (and measured recall) is
     statistically unchanged.  Returns (vec_id, bucket).
     """
-    dims = quantize_embeddings(embeddings).select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("pos", "v"),
-    )
     spark = embeddings.sparkSession
     planes = (
         spark.range(n_planes)
@@ -440,21 +435,41 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
             ).alias("w"),
         )
     )
-    bits = (
-        dims.join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("proj"))
-        .select(
-            "vec_id",
-            F.when(
-                F.col("proj") > 0,
-                F.pow(F.lit(2.0), F.col("j")).cast("long"),
+    # r16 (guide §4.2): the projections run as ONE integer matmul per
+    # Arrow batch instead of posexplode (n x 64 rows) -> broadcast plane
+    # join (x n_planes) -> two-level aggregation, which was the measured
+    # floor of the LSH ANN paths (7.1 of 7.9 s at sf1).  The hyperplane
+    # table is STILL the md5 SQL expression above — n_planes * 64 <=
+    # 1920 tiny rows collected as a bounded driver pin (the
+    # _pin_children precedent), so the weights are byte-identical to
+    # the former join's.  Exactness is unchanged: quantized values and
+    # weights are integers, every partial sum is < 2^53, so the int64
+    # matmul reproduces the former SUM(v*w) CAST LONG bit-for-bit, and
+    # the sign test / power-of-two bucket encoding are the same
+    # integers in numpy as they were in SQL.
+    wrows = planes.collect()  # bounded driver pin: <= n_planes*64 rows
+    wmat = np.zeros((64, n_planes), dtype=np.int64)
+    for r in wrows:
+        wmat[r["pos"], r["j"]] = r["w"]
+    pow2 = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    def kern(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.int64)
+            proj = A @ wmat
+            bucket = ((proj > 0) * pow2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().astype("int64"),
+                    "bucket": bucket,
+                }
             )
-            .otherwise(F.lit(0))
-            .alias("bitval"),
-        )
+
+    return quantize_embeddings(embeddings).mapInPandas(
+        kern, schema="vec_id long, bucket long"
     )
-    return bits.groupBy("vec_id").agg(F.sum("bitval").alias("bucket"))
 
 
 def ann_lsh_topk(embeddings: DataFrame, k: int, n_planes: int = 8) -> DataFrame:
@@ -1144,7 +1159,11 @@ def ann_lsh_multiprobe_topk(
     # lsh_candidate_pairs pattern): both the probe fan-out and the
     # member side consume it, and without the persist the LSH signature
     # pass (quantize + posexplode + plane join + two aggs) re-executed
-    # once per consumer (§2.4).
+    # once per consumer (§2.4).  Function-local import: the module
+    # prelude is part of every similarity query's coverage trace, and
+    # only this function needs the symbol.
+    from etl_data_pipeline_spark.materialize import materialize
+
     b = materialize(lsh_buckets(embeddings, n_planes))
     flips = [1 << j for j in range(n_planes)]
     if (n_planes + 1) * 5 < (1 << n_planes):
