@@ -68,15 +68,6 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     Reliable ``checkpoint()`` when a checkpoint dir is configured (the
     cluster deployment path); ``localCheckpoint`` otherwise.
 
-    Coupling (ADVICE r15): the connected-components loop rides its
-    convergence ``Observation`` on THIS function's eager action
-    (operators/graph.py observes the frame, then calls cut_lineage, then
-    blocks on ``obs.get``).  Both branches here MUST execute the exact
-    observed plan eagerly — a future lazy variant, or returning ``df``
-    unchanged in some mode, would leave the CollectMetrics unfilled and
-    hang that loop rather than fail loudly (pinned by
-    test_connected_components_star_converges_under_reliable_checkpoint).
-
     The fallback is NOT executor-loss-safe — localCheckpoint stores
     its blocks non-replicated on the computing executor with lineage
     already truncated, so losing that executor kills the job.  Proven

@@ -487,14 +487,6 @@ def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
     zero tokens are kept with inter = 0 so callers see the full
     candidate set.
 
-    Contract (ADVICE r15): ``documents.text`` is non-NULL — the
-    generator never emits NULL text, and a NULL would now survive as a
-    NULL-array pair (the pre-r15 inverted-index form silently dropped
-    it); empty text behaves identically both ways (split('') = ['']).
-    Output is exactly the six columns above: any extra columns carried
-    on ``cand`` are dropped (the pre-r15 form passed them through; all
-    callers pass bare (a, b) frames).
-
     r15 optimization round (guide §2.3 "shuffle fewer rows"): the
     intersection is computed per pair with ``array_intersect`` over
     each doc's row-local distinct-token ARRAY, replacing the former
